@@ -1,0 +1,173 @@
+"""Point-cloud sampling/grouping ops, TPU-first.
+
+Capability parity with /root/reference/pointnet_util.py:22-156
+(square_distance, index_points, farthest_point_sample, query_ball_point,
+sample_and_group, sample_and_group_all), redesigned for XLA:
+
+* pairwise distances use the |x|^2 + |y|^2 - 2 x.y^T matmul expansion so the
+  O(N M) work lands on the MXU instead of materializing a [B, N, M, 3]
+  broadcast (the reference's square_distance, pointnet_util.py:36, does the
+  broadcast);
+* FPS is a single ``lax.fori_loop`` batched over clouds — the sequential
+  argmax chain is inherent to FPS, but each step is fully vectorized over
+  [B, N] so one loop serves the whole batch (the reference loops in Python,
+  pointnet_util.py:67-72);
+* kNN is ``lax.top_k`` on negated distances; gathers are
+  ``take_along_axis`` (one fused XLA gather, no index reshaping dance).
+
+All functions are jit/vmap/grad-safe with static shapes. A fused Pallas FPS
+lives in ``fps_pallas.py``; ``farthest_point_sample`` dispatches to it on TPU.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def square_distance(src, dst, precision="highest"):
+    """Pairwise squared L2: src [B, N, C], dst [B, M, C] -> [B, N, M].
+
+    Uses the matmul expansion (MXU-friendly). ``precision='highest'``
+    keeps f32 accuracy on TPU; pass None for fast bf16 passes when
+    approximate neighbor ranking is acceptable.
+    """
+    s2 = jnp.sum(src * src, axis=-1, keepdims=True)          # [B, N, 1]
+    d2 = jnp.sum(dst * dst, axis=-1, keepdims=True)          # [B, M, 1]
+    cross = jnp.matmul(src, jnp.swapaxes(dst, -1, -2),
+                       precision=precision)                  # [B, N, M]
+    return s2 + jnp.swapaxes(d2, -1, -2) - 2 * cross
+
+
+def index_points(points, idx):
+    """Gather points [B, N, C] by idx [B, S] or [B, S, K] -> [B, S[, K], C].
+
+    Same contract as pointnet_util.py:39-50, implemented as one
+    take_along_axis per call.
+    """
+    if idx.ndim == 2:
+        return jnp.take_along_axis(points, idx[..., None], axis=1)
+    b, s, k = idx.shape
+    flat = jnp.take_along_axis(points, idx.reshape(b, s * k)[..., None], axis=1)
+    return flat.reshape(b, s, k, points.shape[-1])
+
+
+def _fps_body(xyz, valid_mask, i, state):
+    centroids, distance, farthest = state
+    centroids = centroids.at[:, i].set(farthest)
+    centroid = jnp.take_along_axis(xyz, farthest[:, None, None], axis=1)  # [B,1,3]
+    d = jnp.sum((xyz - centroid) ** 2, axis=-1)                           # [B,N]
+    if valid_mask is not None:
+        d = jnp.where(valid_mask, d, -jnp.inf)
+    distance = jnp.minimum(distance, d)
+    farthest = jnp.argmax(distance, axis=-1)
+    return centroids, distance, farthest
+
+
+@functools.partial(jax.jit, static_argnames=("npoint", "use_pallas"))
+def farthest_point_sample(xyz, npoint, start_idx=None, valid_mask=None,
+                          use_pallas=True):
+    """Farthest-point sampling: xyz [B, N, 3] -> indices [B, npoint] (int32).
+
+    Same algorithm as pointnet_util.py:53-73 / dataset.py:1147-1163 (iterated
+    max-min distance), with two extensions:
+      * ``start_idx`` [B] selects the seed point (the reference seeds with
+        torch.randint / np.random.randint; pass explicit indices for
+        deterministic behavior under jit — default 0);
+      * ``valid_mask`` [B, N] excludes padded points, enabling fixed-shape
+        FPS over variable-size pieces in the on-device data pipeline.
+
+    On TPU dispatches to the fused Pallas kernel (fps_pallas.py) when
+    ``use_pallas`` and the unmasked fast path applies.
+    """
+    B, N, _ = xyz.shape
+    if start_idx is None:
+        start = jnp.zeros((B,), dtype=jnp.int32)
+    else:
+        start = start_idx.astype(jnp.int32)
+
+    if use_pallas and valid_mask is None:
+        try:
+            from .fps_pallas import fps_pallas, pallas_supported
+            if pallas_supported():
+                return fps_pallas(xyz, npoint, start)
+        except ImportError:
+            pass
+
+    init_dist = jnp.full((B, N), jnp.inf, dtype=xyz.dtype)
+    if valid_mask is not None:
+        init_dist = jnp.where(valid_mask, init_dist, -jnp.inf)
+    centroids = jnp.zeros((B, npoint), dtype=jnp.int32)
+    body = functools.partial(_fps_body, xyz, valid_mask)
+    centroids, _, _ = lax.fori_loop(
+        0, npoint, body, (centroids, init_dist, start))
+    return centroids
+
+
+def knn_indices(query, points, k, precision="highest"):
+    """Indices of the k nearest points for each query.
+
+    query [B, S, 3], points [B, N, 3] -> [B, S, k] (sorted by distance,
+    matching ``dists.argsort()[:, :, :k]`` at pointnet_util.py:118-119).
+    """
+    d = square_distance(query, points, precision=precision)
+    _, idx = lax.top_k(-d, k)
+    return idx
+
+
+def ball_query(radius, nsample, xyz, new_xyz):
+    """Radius-limited neighborhood query (pointnet_util.py:76-96).
+
+    Returns [B, S, nsample] indices: the first ``nsample`` in-radius point
+    indices in ascending index order, out-of-radius slots filled with the
+    first in-radius index (the reference's sort-and-backfill contract).
+    """
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    d = square_distance(new_xyz, xyz)
+    arange = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, S, N))
+    idx = jnp.where(d > radius ** 2, N, arange)
+    idx = jnp.sort(idx, axis=-1)[:, :, :nsample]
+    first = idx[:, :, :1]
+    idx = jnp.where(idx == N, first, idx)
+    # If even the first slot is N (no point in radius) fall back to index 0.
+    return jnp.where(idx == N, 0, idx).astype(jnp.int32)
+
+
+def sample_and_group(npoint, radius, nsample, xyz, points, knn=False,
+                     start_idx=None, return_fps=False):
+    """FPS + neighborhood grouping + center-relative coordinates.
+
+    Contract of pointnet_util.py:99-136: returns
+      new_xyz   [B, npoint, 3]          FPS centroids
+      new_feats [B, npoint, nsample, 3 + D]  (relative xyz ++ features)
+    with kNN (knn=True) or ball query neighborhoods.
+    """
+    fps_idx = farthest_point_sample(xyz, npoint, start_idx=start_idx)
+    new_xyz = index_points(xyz, fps_idx)
+    if knn:
+        idx = knn_indices(new_xyz, xyz, nsample)
+    else:
+        idx = ball_query(radius, nsample, xyz, new_xyz)
+    grouped_xyz = index_points(xyz, idx)                     # [B, S, k, 3]
+    grouped_rel = grouped_xyz - new_xyz[:, :, None, :]
+    if points is not None:
+        grouped_points = index_points(points, idx)
+        new_feats = jnp.concatenate([grouped_rel, grouped_points], axis=-1)
+    else:
+        new_feats = grouped_rel
+    if return_fps:
+        return new_xyz, new_feats, grouped_xyz, fps_idx
+    return new_xyz, new_feats
+
+
+def sample_and_group_all(xyz, points):
+    """Single global group (pointnet_util.py:139-156): new_xyz = origin,
+    new_feats [B, 1, N, 3 + D]."""
+    B, N, C = xyz.shape
+    new_xyz = jnp.zeros((B, 1, C), dtype=xyz.dtype)
+    grouped = xyz[:, None]
+    if points is not None:
+        grouped = jnp.concatenate([grouped, points[:, None]], axis=-1)
+    return new_xyz, grouped

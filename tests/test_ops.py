@@ -1,0 +1,158 @@
+"""ops unit tests vs numpy oracles (SURVEY.md §4: FPS/kNN/gather vs numpy,
+chamfer oracle)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from puzzlenet_tpu import ops
+
+
+def _np_square_distance(src, dst):
+    return ((src[:, :, None, :] - dst[:, None, :, :]) ** 2).sum(-1)
+
+
+def _np_fps(xyz, npoint, start=0):
+    """Independent numpy transcription of iterated max-min FPS
+    (dataset.py:1147-1163 semantics, deterministic seed)."""
+    B, N, _ = xyz.shape
+    out = np.zeros((B, npoint), dtype=np.int64)
+    for b in range(B):
+        dist = np.full(N, np.inf)
+        far = start
+        for i in range(npoint):
+            out[b, i] = far
+            d = ((xyz[b] - xyz[b, far]) ** 2).sum(-1)
+            dist = np.minimum(dist, d)
+            far = int(np.argmax(dist))
+    return out
+
+
+@pytest.fixture(scope="module")
+def clouds():
+    rng = np.random.default_rng(0)
+    return rng.normal(size=(2, 128, 3)).astype(np.float32)
+
+
+class TestPointOps:
+    def test_square_distance(self, clouds):
+        a = jnp.asarray(clouds)
+        b = jnp.asarray(clouds[:, ::-1])
+        d = ops.square_distance(a, b)
+        np.testing.assert_allclose(
+            np.asarray(d), _np_square_distance(clouds, clouds[:, ::-1]),
+            rtol=1e-4, atol=1e-4)
+
+    def test_index_points_2d(self, clouds):
+        idx = jnp.asarray([[0, 5, 7], [1, 2, 3]], dtype=jnp.int32)
+        got = ops.index_points(jnp.asarray(clouds), idx)
+        want = np.stack([clouds[0, [0, 5, 7]], clouds[1, [1, 2, 3]]])
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    def test_index_points_3d(self, clouds):
+        idx = jnp.asarray(
+            np.random.default_rng(1).integers(0, 128, size=(2, 4, 5)),
+            dtype=jnp.int32)
+        got = ops.index_points(jnp.asarray(clouds), idx)
+        want = np.stack([clouds[b][np.asarray(idx)[b]] for b in range(2)])
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    def test_fps_matches_numpy(self, clouds):
+        idx = ops.farthest_point_sample(jnp.asarray(clouds), 32,
+                                        use_pallas=False)
+        np.testing.assert_array_equal(np.asarray(idx), _np_fps(clouds, 32))
+
+    def test_fps_start_idx(self, clouds):
+        start = jnp.asarray([3, 9], dtype=jnp.int32)
+        idx = ops.farthest_point_sample(jnp.asarray(clouds), 16,
+                                        start_idx=start, use_pallas=False)
+        assert int(idx[0, 0]) == 3 and int(idx[1, 0]) == 9
+        np.testing.assert_array_equal(np.asarray(idx[0]),
+                                      _np_fps(clouds[:1], 16, start=3)[0])
+
+    def test_fps_masked_never_selects_invalid(self, clouds):
+        mask = np.ones((2, 128), bool)
+        mask[:, 64:] = False
+        idx = ops.farthest_point_sample(
+            jnp.asarray(clouds), 32, valid_mask=jnp.asarray(mask),
+            use_pallas=False)
+        assert int(np.asarray(idx).max()) < 64
+        # masked FPS over the valid prefix == plain FPS on the prefix
+        ref = ops.farthest_point_sample(jnp.asarray(clouds[:, :64]), 32,
+                                        use_pallas=False)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref))
+
+    def test_knn_sorted_and_correct(self, clouds):
+        q = jnp.asarray(clouds[:, :16])
+        idx = ops.knn_indices(q, jnp.asarray(clouds), 8)
+        d = _np_square_distance(clouds[:, :16], clouds)
+        want = np.argsort(d, axis=-1, kind="stable")[:, :, :8]
+        got_d = np.take_along_axis(d, np.asarray(idx, np.int64), axis=-1)
+        want_d = np.take_along_axis(d, want, axis=-1)
+        np.testing.assert_allclose(got_d, want_d, rtol=1e-4, atol=1e-5)
+
+    def test_ball_query_contract(self, clouds):
+        xyz = jnp.asarray(clouds)
+        new_xyz = xyz[:, :8]
+        r, k = 0.9, 16
+        idx = np.asarray(ops.ball_query(r, k, xyz, new_xyz))
+        d = _np_square_distance(clouds[:, :8], clouds)
+        for b in range(2):
+            for s in range(8):
+                inside = np.where(d[b, s] <= r * r)[0]
+                want = inside[:k]
+                got = idx[b, s]
+                if len(want) == 0:
+                    continue
+                # first len(want) entries are the in-radius points in order,
+                # rest backfilled with the first
+                np.testing.assert_array_equal(got[:len(want)], want)
+                if len(want) < k:
+                    assert (got[len(want):] == want[0]).all()
+
+    def test_sample_and_group_shapes(self, clouds):
+        xyz = jnp.asarray(clouds)
+        feats = jnp.asarray(
+            np.random.default_rng(2).normal(size=(2, 128, 10)).astype(
+                np.float32))
+        new_xyz, grouped = ops.sample_and_group(32, 0, 8, xyz, feats, knn=True)
+        assert new_xyz.shape == (2, 32, 3)
+        assert grouped.shape == (2, 32, 8, 13)
+        # relative coords of each group's own centroid are ~0 (centroid is
+        # its own nearest neighbor)
+        rel = np.asarray(grouped)[..., :3]
+        assert np.abs(rel).min(axis=2).max() < 1e-6
+
+    def test_sample_and_group_all(self, clouds):
+        xyz = jnp.asarray(clouds)
+        new_xyz, grouped = ops.sample_and_group_all(xyz, None)
+        assert new_xyz.shape == (2, 1, 3)
+        np.testing.assert_array_equal(np.asarray(grouped[:, 0]), clouds)
+
+
+class TestChamfer:
+    def test_matches_bruteforce(self, clouds):
+        a = jnp.asarray(clouds)
+        b = jnp.asarray(clouds[:, ::2] + 0.1)
+        d_b, d_a = ops.chamfer_distances(a, b)
+        D = _np_square_distance(clouds, clouds[:, ::2] + 0.1)
+        np.testing.assert_allclose(np.asarray(d_b), D.min(1), rtol=1e-4,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(d_a), D.min(2), rtol=1e-4,
+                                   atol=1e-5)
+
+    def test_identical_clouds_zero(self, clouds):
+        a = jnp.asarray(clouds)
+        loss = ops.chamfer_loss(a, a)
+        np.testing.assert_allclose(np.asarray(loss), 0.0, atol=1e-5)
+
+    def test_grad_flows(self, clouds):
+        a = jnp.asarray(clouds)
+
+        def f(x):
+            return jnp.sum(ops.chamfer_loss(x, a + 0.5))
+
+        g = jax.grad(f)(a)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.max(jnp.abs(g))) > 0
