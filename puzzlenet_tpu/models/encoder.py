@@ -1,0 +1,126 @@
+"""PCT point-cloud encoder (flax).
+
+Capability parity with the reference encoder stack:
+* ``OffsetAttention``  = layerAttention + scaled_dot_production
+  (model5_b.py:67-101): single-head offset attention, q/k projected to d/4.
+* ``PCTEncoder``       = PCTransformer_nonsort (model5_b.py:411-478):
+  per-point MLP -> two sample_and_group stages (FPS 512/256, kNN 32) with
+  shared MLPs + max over neighbors -> 4 stacked offset-attention blocks ->
+  concat -> Linear(1280 -> 1024) -> max-pool global feature.
+* ``PointSlotBatchNorm`` reproduces the reference's unusual BatchNorm
+  placement: torch ``BatchNorm1d(num_points)`` applied to a [B, N, C] tensor
+  (model5_b.py:424-425, 447-448) normalizes each *point slot* over the batch
+  and channel axes. Kept bit-faithful for checkpoint parity; it is flagged as
+  a quirk in SURVEY.md §7.2(5).
+"""
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops import sample_and_group
+
+
+class PointSlotBatchNorm(nn.Module):
+    """BatchNorm over (batch, channel) per point slot.
+
+    Input [B, N, C]; statistics and the learned scale/bias are per-N
+    (matching torch BatchNorm1d(N) fed a [B, N, C] tensor, which treats N as
+    the channel dim and C as spatial).
+    """
+
+    use_running_average: Optional[bool] = None
+    momentum: float = 0.9   # torch's 0.1 in flax convention
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        ura = nn.merge_param(
+            "use_running_average", self.use_running_average,
+            use_running_average)
+        return nn.BatchNorm(
+            use_running_average=ura,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            axis=1,  # stats per point slot, reduced over (batch, channels)
+        )(x)
+
+
+class OffsetAttention(nn.Module):
+    """Single-head offset attention (model5_b.py:83-101).
+
+    q, k project to dim/4, v to dim; r = x - softmax(q k^T / sqrt(dim/4)) v;
+    out = x + relu(Linear(r)). Returns (out, attention).
+    """
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        d_qk = self.dim // 4
+        q = nn.Dense(d_qk, name="q")(x)
+        k = nn.Dense(d_qk, name="k")(x)
+        v = nn.Dense(self.dim, name="v")(x)
+        logits = jnp.einsum("bnd,bmd->bnm", q, k) / jnp.sqrt(
+            jnp.asarray(d_qk, x.dtype))
+        attention = nn.softmax(logits, axis=-1)
+        r = jnp.einsum("bnm,bmd->bnd", attention, v)
+        r = x - r
+        out = x + nn.relu(nn.Dense(self.dim, name="out")(r))
+        return out, attention
+
+
+class PCTEncoder(nn.Module):
+    """PCTransformer_nonsort (model5_b.py:411-478), TPU-idiomatic.
+
+    __call__(xyz [B, N, 3]) -> (f_global [B, 1024], x2 [B, 256, 3],
+    attention [B, 256, 256] (mean of the 4 blocks), out_local [B, 256, 1024],
+    x_feature [B, N, 64]).
+    """
+
+    num_points: int = 1024
+    feature_size: int = 64
+    gs2_feature_size: int = 128
+    out_dim: int = 1024
+    sg1_points: int = 512
+    sg2_points: int = 256
+    knn: int = 32
+
+    @nn.compact
+    def __call__(self, xyz, train: bool = False):
+        d2 = self.gs2_feature_size * 2
+
+        # per-point embedding with point-slot BN (reference quirk, see module)
+        x = nn.relu(PointSlotBatchNorm(name="bn1")(
+            nn.Dense(64, name="mlp1")(xyz), use_running_average=not train))
+        x_feature = nn.relu(PointSlotBatchNorm(name="bn2")(
+            nn.Dense(self.feature_size, name="mlp2")(x),
+            use_running_average=not train))
+
+        # stage 1: FPS 512 + kNN 32, shared MLP, max over neighbors
+        x1, f1 = sample_and_group(self.sg1_points, 0, self.knn, xyz,
+                                  x_feature, knn=True)
+        f1f = nn.relu(nn.Dense(128, name="mlp3")(f1))
+        f1f = nn.relu(nn.Dense(self.gs2_feature_size, name="mlp4")(f1f))
+        f1f = jnp.max(f1f, axis=-2)                      # [B, 512, 128]
+
+        # stage 2: FPS 256 + kNN 32
+        x2, f2 = sample_and_group(self.sg2_points, 0, self.knn, x1, f1f,
+                                  knn=True)
+        f2f = nn.relu(nn.Dense(d2, name="mlp5")(f2))
+        f2f = nn.relu(nn.Dense(d2, name="mlp6")(f2f))
+        f2f = jnp.max(f2f, axis=-2)                      # [B, 256, 256]
+
+        # 4 stacked offset-attention blocks; attentions averaged
+        att1, attention1 = OffsetAttention(d2, name="atten1")(f2f)
+        att2, attention2 = OffsetAttention(d2, name="atten2")(att1)
+        att3, attention3 = OffsetAttention(d2, name="atten3")(att2)
+        att4, attention4 = OffsetAttention(d2, name="atten4")(att3)
+        att = jnp.concatenate([att1, att2, att3, att4, f2f], axis=-1)
+        attention = (attention1 + attention2 + attention3 + attention4) / 4
+
+        out_local = nn.Dense(self.out_dim, name="out")(att)  # [B, 256, 1024]
+        f_global = jnp.max(out_local, axis=1)                # [B, 1024]
+
+        return f_global, x2, attention, out_local, x_feature

@@ -1,0 +1,126 @@
+"""The two-branch PuzzleNet assembly model (flax).
+
+Capability parity with TouchedRegraster's network components and predict5 /
+predict6 paths (model5_b.py:519-759):
+
+* twin PCT encoders (separate weights, model5_b.py:530-531);
+* pose head ``tfMLP``: MLP 2048 -> 1024 -> 512 -> 512 -> 256 -> 6 on the
+  concatenated global features, output is an se(3) twist
+  (model5_b.py:559-569, applied at 723-725);
+* boundary branch: per-point MLPs on the pre-grouping features, max-pooled
+  to a 64-d global, cross-concatenated with the *other* piece's global, then
+  per-point classifier MLPs 128 -> 64 -> 32 -> 2 (model5_b.py:571-599,
+  738-754).
+
+Known reference quirk, reproduced behind a flag: predict5 computes the fpc
+"global" from the mrpc branch (model5_b.py:741), so both seg globals come
+from mrpc. The architecture figure shows a symmetric cross-swap; default is
+the symmetric version, set ``asymmetric_global_quirk=True`` for bit-parity
+with reference checkpoints (SURVEY.md §3.2).
+
+The pretrain path (= predict6, model5_b.py:612-659) encodes *both* pieces
+with encoder #1 and skips the boundary branch.
+"""
+
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .encoder import PCTEncoder
+
+
+class PuzzleNetOutput(NamedTuple):
+    twist: jnp.ndarray            # [B, 6] se(3) twist; exp(twist) maps mrpc -> rpc
+    fpcb_logits: jnp.ndarray      # [B, 2, N] boundary logits on fpc
+    mrpcb_logits: jnp.ndarray     # [B, 2, N] boundary logits on mrpc
+    fpc_x2: jnp.ndarray           # [B, 256, 3] stage-2 centroids (fpc)
+    fpc_attention: jnp.ndarray    # [B, 256, 256] mean attention (fpc)
+    mrpc_x2: jnp.ndarray          # [B, 256, 3]
+    mrpc_attention: jnp.ndarray   # [B, 256, 256]
+
+
+class PoseMLP(nn.Module):
+    """tfMLP (model5_b.py:559-569)."""
+
+    @nn.compact
+    def __call__(self, f):
+        for w in (1024, 512, 512, 256):
+            f = nn.relu(nn.Dense(w)(f))
+        return nn.Dense(6)(f)
+
+
+class _PointMLP(nn.Module):
+    widths: tuple
+
+    @nn.compact
+    def __call__(self, x):
+        for i, w in enumerate(self.widths):
+            x = nn.Dense(w)(x)
+            if i + 1 < len(self.widths):
+                x = nn.relu(x)
+        return x
+
+
+class PuzzleNet(nn.Module):
+    num_points: int = 1024
+    asymmetric_global_quirk: bool = False
+
+    def setup(self):
+        self.encoder_fpc = PCTEncoder(num_points=self.num_points)
+        self.encoder_mrpc = PCTEncoder(num_points=self.num_points)
+        self.pose_mlp = PoseMLP()
+        # per-point boundary feature MLPs 64->64->64 (all layers relu'd in
+        # the reference? model5_b.py:571-584 ends without a trailing relu)
+        self.local_pre_fpc = _PointMLP((64, 64, 64))
+        self.local_pre_rpc = _PointMLP((64, 64, 64))
+        self.head_fpcb = _PointMLP((64, 32, 2))
+        self.head_rpcb = _PointMLP((64, 32, 2))
+
+    def __call__(self, fpc, mrpc, train: bool = False,
+                 pretrain: bool = False):
+        """fpc, mrpc: [B, N, 3] -> PuzzleNetOutput.
+
+        ``pretrain`` selects the predict6 path: both pieces through encoder
+        #1, pose only (boundary logits are zeros placeholders so the output
+        shape stays static under jit).
+        """
+        if pretrain:
+            # predict6 (model5_b.py:644-649): both branches share encoder 1
+            f_fpc, fx2, fattn, _, _ = self.encoder_fpc(fpc, train=train)
+            f_mrpc, mx2, mattn, _, _ = self.encoder_fpc(mrpc, train=train)
+            twist = self.pose_mlp(jnp.concatenate([f_fpc, f_mrpc], axis=-1))
+            B, N = fpc.shape[0], fpc.shape[1]
+            zeros = jnp.zeros((B, 2, N), fpc.dtype)
+            return PuzzleNetOutput(twist, zeros, zeros, fx2, fattn, mx2,
+                                   mattn)
+
+        f_fpc, fx2, fattn, _, xfeat_fpc = self.encoder_fpc(fpc, train=train)
+        f_mrpc, mx2, mattn, _, xfeat_mrpc = self.encoder_mrpc(
+            mrpc, train=train)
+
+        twist = self.pose_mlp(jnp.concatenate([f_fpc, f_mrpc], axis=-1))
+
+        # boundary branch (model5_b.py:738-754)
+        nf = self.local_pre_fpc(xfeat_fpc)     # [B, N, 64]
+        nm = self.local_pre_rpc(xfeat_mrpc)    # [B, N, 64]
+        if self.asymmetric_global_quirk:
+            fpc_global = jnp.max(nm, axis=1, keepdims=True)  # quirk: mrpc
+        else:
+            fpc_global = jnp.max(nf, axis=1, keepdims=True)
+        mrpc_global = jnp.max(nm, axis=1, keepdims=True)
+
+        n = fpc.shape[1]
+        # each piece's per-point features concat the OTHER piece's global
+        fpc_seg = jnp.concatenate(
+            [jnp.broadcast_to(mrpc_global, (nm.shape[0], n, 64)), nf],
+            axis=-1)
+        mrpc_seg = jnp.concatenate(
+            [jnp.broadcast_to(fpc_global, (nf.shape[0], n, 64)), nm],
+            axis=-1)
+
+        fpcb_logits = jnp.swapaxes(self.head_fpcb(fpc_seg), 1, 2)    # [B,2,N]
+        mrpcb_logits = jnp.swapaxes(self.head_rpcb(mrpc_seg), 1, 2)  # [B,2,N]
+
+        return PuzzleNetOutput(twist, fpcb_logits, mrpcb_logits, fx2, fattn,
+                               mx2, mattn)

@@ -1,0 +1,147 @@
+"""Model tests: shapes, BN-over-points semantics vs torch, gradient flow,
+overfit-one-batch smoke (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from puzzlenet_tpu.models import (
+    PCTEncoder,
+    PointNetFeaturePropagation,
+    PointNetSetAbstraction,
+    PointSlotBatchNorm,
+    PuzzleNet,
+)
+
+B, N = 2, 256  # small N for test speed; the architecture is size-agnostic
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(0)
+    fpc = rng.normal(size=(B, N, 3)).astype(np.float32)
+    mrpc = rng.normal(size=(B, N, 3)).astype(np.float32)
+    return jnp.asarray(fpc), jnp.asarray(mrpc)
+
+
+@pytest.fixture(scope="module")
+def model_and_params(batch):
+    fpc, mrpc = batch
+    model = PuzzleNet(num_points=N)
+    variables = model.init(jax.random.PRNGKey(0), fpc, mrpc, train=False)
+    return model, variables
+
+
+class TestPointSlotBatchNorm:
+    def test_matches_torch_semantics(self):
+        """torch BatchNorm1d(num_points) on [B, N, C] normalizes per point
+        slot over (batch, channels); check against torch directly."""
+        import torch
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(4, 16, 8)).astype(np.float32)
+
+        tbn = torch.nn.BatchNorm1d(16)
+        tbn.train()
+        want = tbn(torch.from_numpy(x)).detach().numpy()
+
+        bn = PointSlotBatchNorm(use_running_average=False)
+        variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        got, _ = bn.apply(variables, jnp.asarray(x),
+                          mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4,
+                                   atol=1e-4)
+
+
+class TestEncoder:
+    def test_output_shapes(self, batch):
+        fpc, _ = batch
+        enc = PCTEncoder(num_points=N)
+        variables = enc.init(jax.random.PRNGKey(0), fpc, train=False)
+        f_global, x2, attention, out_local, x_feature = enc.apply(
+            variables, fpc, train=False)
+        assert f_global.shape == (B, 1024)
+        assert x2.shape == (B, 256, 3)
+        assert attention.shape == (B, 256, 256)
+        assert out_local.shape == (B, 256, 1024)
+        assert x_feature.shape == (B, N, 64)
+
+    def test_attention_rows_normalized(self, batch):
+        fpc, _ = batch
+        enc = PCTEncoder(num_points=N)
+        variables = enc.init(jax.random.PRNGKey(0), fpc, train=False)
+        _, _, attention, _, _ = enc.apply(variables, fpc, train=False)
+        np.testing.assert_allclose(np.asarray(attention).sum(-1), 1.0,
+                                   atol=1e-4)
+
+
+class TestPuzzleNet:
+    def test_forward_shapes(self, model_and_params, batch):
+        model, variables = model_and_params
+        fpc, mrpc = batch
+        out = model.apply(variables, fpc, mrpc, train=False)
+        assert out.twist.shape == (B, 6)
+        assert out.fpcb_logits.shape == (B, 2, N)
+        assert out.mrpcb_logits.shape == (B, 2, N)
+
+    def test_pretrain_path(self, model_and_params, batch):
+        model, variables = model_and_params
+        fpc, mrpc = batch
+        out = model.apply(variables, fpc, mrpc, train=False, pretrain=True)
+        assert out.twist.shape == (B, 6)
+
+    def test_jit_and_grad(self, model_and_params, batch):
+        model, variables = model_and_params
+        fpc, mrpc = batch
+        params = variables["params"]
+        others = {k: v for k, v in variables.items() if k != "params"}
+
+        @jax.jit
+        def loss_fn(p):
+            out = model.apply({"params": p, **others}, fpc, mrpc,
+                              train=False)
+            return (jnp.sum(out.twist ** 2) + jnp.sum(out.fpcb_logits ** 2)
+                    + jnp.sum(out.mrpcb_logits ** 2))
+
+        g = jax.grad(loss_fn)(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        # both encoders and all heads receive gradient
+        flat = jax.tree_util.tree_flatten_with_path(g)[0]
+        nonzero_paths = {jax.tree_util.keystr(p[:1]) for p, l in flat
+                         if float(jnp.max(jnp.abs(l))) > 0}
+        for part in ("encoder_fpc", "encoder_mrpc", "pose_mlp", "head_fpcb",
+                     "head_rpcb", "local_pre_fpc", "local_pre_rpc"):
+            assert any(part in s for s in nonzero_paths), part
+
+    def test_batch_stats_update_in_train(self, model_and_params, batch):
+        model, variables = model_and_params
+        fpc, mrpc = batch
+        _, mutated = model.apply(variables, fpc, mrpc, train=True,
+                                 mutable=["batch_stats"])
+        before = jax.tree_util.tree_leaves(variables["batch_stats"])
+        after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+        assert any(
+            float(jnp.max(jnp.abs(a - b))) > 0 for a, b in zip(after, before))
+
+
+class TestPointNetModules:
+    def test_set_abstraction(self, batch):
+        fpc, _ = batch
+        sa = PointNetSetAbstraction(npoint=32, radius=0.5, nsample=8,
+                                    mlp=(16, 32), knn=True)
+        variables = sa.init(jax.random.PRNGKey(0), fpc, None, train=False)
+        new_xyz, feats = sa.apply(variables, fpc, None, train=False)
+        assert new_xyz.shape == (B, 32, 3)
+        assert feats.shape == (B, 32, 32)
+
+    def test_feature_propagation(self, batch):
+        fpc, _ = batch
+        xyz2 = fpc[:, :32]
+        points2 = jnp.ones((B, 32, 16))
+        fp = PointNetFeaturePropagation(mlp=(8,))
+        variables = fp.init(jax.random.PRNGKey(0), fpc, xyz2, None, points2,
+                            train=False)
+        out = fp.apply(variables, fpc, xyz2, None, points2, train=False)
+        assert out.shape == (B, N, 8)
