@@ -1,0 +1,43 @@
+"""Ground-truth boundary extraction.
+
+Capability parity with CADDataset.get_boundary (dataset.py:1357-1367): each
+side's boundary is its 128 points with smallest cross-chamfer distance
+(distance to the nearest point on the other side), plus 0/1 masks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_boundary_np(fpc, rpc, k=128):
+    """numpy host version: fpc [N,3], rpc [M,3] ->
+    (fpcb [k,3], rpcb [k,3], fpc_idx [N], rpc_idx [M])."""
+    d = ((fpc[:, None, :] - rpc[None, :, :]) ** 2).sum(-1)  # [N, M]
+    d_rpc = d.min(axis=0)   # nearest fpc point for each rpc point
+    d_fpc = d.min(axis=1)   # nearest rpc point for each fpc point
+    rpc_top = np.argsort(d_rpc, kind="stable")[:k]
+    fpc_top = np.argsort(d_fpc, kind="stable")[:k]
+    fpc_idx = np.zeros(len(fpc), np.float32)
+    fpc_idx[fpc_top] = 1
+    rpc_idx = np.zeros(len(rpc), np.float32)
+    rpc_idx[rpc_top] = 1
+    return (fpc[fpc_top].astype(np.float32), rpc[rpc_top].astype(np.float32),
+            fpc_idx, rpc_idx)
+
+
+def get_boundary(fpc, rpc, k=128):
+    """jnp device version, batched: fpc [B,N,3], rpc [B,M,3] ->
+    (fpcb [B,k,3], rpcb [B,k,3], fpc_idx [B,N], rpc_idx [B,M])."""
+    from ..ops import chamfer_distances, index_points
+
+    d_rpc, d_fpc = chamfer_distances(fpc, rpc)   # [B, M], [B, N]
+    _, rpc_top = jax.lax.top_k(-d_rpc, k)
+    _, fpc_top = jax.lax.top_k(-d_fpc, k)
+    fpcb = index_points(fpc, fpc_top)
+    rpcb = index_points(rpc, rpc_top)
+    fpc_idx = jnp.put_along_axis(jnp.zeros(fpc.shape[:2], jnp.float32),
+                                 fpc_top, 1.0, axis=1, inplace=False)
+    rpc_idx = jnp.put_along_axis(jnp.zeros(rpc.shape[:2], jnp.float32),
+                                 rpc_top, 1.0, axis=1, inplace=False)
+    return fpcb, rpcb, fpc_idx, rpc_idx

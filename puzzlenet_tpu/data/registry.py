@@ -1,0 +1,107 @@
+"""Dataset category registry.
+
+Capability parity with get_dataset / get_test_dataset (dataset.py:1434-1558,
+777-787): the same category names map to the same (shape family, slicer)
+combinations, each wrapped in the mag-0.8 rigid-augmentation MovedDataset.
+
+Data resolution: real npy payloads are looked up under
+``$PUZZLENET_DATA_DIR`` (default ./data). The reference's bundled npys are
+git-LFS pointer stubs (SURVEY.md §0), so when a file is missing or is a
+stub, the registry transparently substitutes synthetic clouds of the
+matching family (synthetic.py) — same object-array contract, pipeline
+identical from the slicer down.
+"""
+
+import os
+
+import numpy as np
+
+from .datasets import BuildingDataset, MovedDataset, SlicedCloudDataset
+from .slicers import cone_split, cylinder_split, plane_split, sphere_split
+from .synthetic import synthetic_clouds
+
+# category -> (npy base name, synthetic family, slicer)
+_NAMES = {
+    "cadr": ("np_out2_all_11000_train_2.npy", "airplane", plane_split),
+    "cad_cyl": ("np_out2_all_11000_train_2.npy", "airplane", cylinder_split),
+    "cad_cone": ("np_out2_all_11000_train_2.npy", "airplane", cone_split),
+    "cad_sphere": ("np_out2_all_11000_train_2.npy", "airplane", sphere_split),
+    "bedr": ("np_ob_all_10000_train_2.npy", "bed", plane_split),
+    "bed_cyl": ("np_ob_all_10000_train_2.npy", "bed", cylinder_split),
+    "bed_cone": ("np_ob_all_10000_train_2.npy", "bed", cone_split),
+    "bed_sphere": ("np_ob_all_10000_train_2.npy", "bed", sphere_split),
+    "vaser": ("np_vase_all_11000_train_2.npy", "vase", plane_split),
+    "vase_cyl": ("np_vase_all_11000_train_2.npy", "vase", cylinder_split),
+    "vase_cone": ("np_vase_all_11000_train_2.npy", "vase", cone_split),
+    "vase_sphere": ("np_vase_all_11000_train_2.npy", "vase", sphere_split),
+}
+
+
+def data_dir():
+    return os.environ.get("PUZZLENET_DATA_DIR", "data")
+
+
+def _is_lfs_stub(path):
+    try:
+        if os.path.getsize(path) < 512:
+            with open(path, "rb") as f:
+                return f.read(24).startswith(b"version https://git-lfs")
+    except OSError:
+        return False
+    return False
+
+
+def _load_clouds(name, family, count, seed):
+    path = os.path.join(data_dir(), name)
+    if os.path.exists(path) and not _is_lfs_stub(path):
+        return np.load(path, allow_pickle=True)
+    return synthetic_clouds(family=family, count=count, seed=seed)
+
+
+def _sliced_triple(name, family, slicer, random_slice, synth_count=64):
+    train_clouds = _load_clouds(name, family, synth_count, seed=0)
+    test_clouds = _load_clouds(name.replace("_train", "_test"), family,
+                               max(synth_count // 4, 8), seed=10_000)
+    mk = lambda clouds, mode: SlicedCloudDataset(  # noqa: E731
+        clouds, mode=mode, slicer=slicer, split_twice=random_slice)
+    return (mk(train_clouds, "train"), mk(train_clouds, "val"),
+            mk(test_clouds, "test"))
+
+
+def get_dataset(category, random=False, random_slice=False, synth_count=64):
+    """(train, val, test) MovedDataset triple for a category name.
+
+    Mirrors dataset.py:1434-1558: 'fr' -> building pairs; 'cadr'/'bedr'/
+    'vaser' (+ _cyl/_cone/_sphere variants) -> sliced clouds of the matching
+    family; 'bbv' -> Breaking-Bad-style fragments. ``random`` toggles random
+    twist magnitude; ``random_slice`` enables split_twice.
+    """
+    if category == "fr":
+        try:
+            tr = BuildingDataset(data_dir(), "train")
+            va = BuildingDataset(data_dir(), "val")
+            te = BuildingDataset(data_dir(), "test")
+        except FileNotFoundError:
+            # synthetic substitute: plane-split blob clouds
+            tr, va, te = _sliced_triple("buildings.npy", "blob", plane_split,
+                                        False, synth_count)
+    elif category == "bbv":
+        from .breaking import BreakingDataset
+        tr = BreakingDataset(mode="train")
+        va = BreakingDataset(mode="test")
+        te = BreakingDataset(mode="test")
+    elif category in _NAMES:
+        name, family, slicer = _NAMES[category]
+        tr, va, te = _sliced_triple(name, family, slicer, random_slice,
+                                    synth_count)
+    else:
+        raise ValueError(f"Unknown dataset category: {category!r}")
+
+    return (MovedDataset(tr, mag_randomly=random, seed=1),
+            MovedDataset(va, mag_randomly=random, seed=2),
+            MovedDataset(te, mag_randomly=random, seed=3))
+
+
+def get_test_dataset(category, random=False, random_slice=False):
+    """Standalone test split (dataset.py:777-787 contract)."""
+    return get_dataset(category, random=random, random_slice=random_slice)[2]

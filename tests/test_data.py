@@ -1,0 +1,209 @@
+"""Data-layer tests: slicers, boundary, augmentation, dataset determinism,
+the 8-tuple batch contract, registry categories, mesh I/O (SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from puzzlenet_tpu import data as D
+from puzzlenet_tpu.data import meshio
+
+
+@pytest.fixture(scope="module")
+def cloud():
+    return D.synthetic_clouds("vase", count=1, n_points=6000, seed=0)[0]
+
+
+class TestSlicers:
+    @pytest.mark.parametrize("slicer", [D.plane_split, D.sphere_split,
+                                        D.cylinder_split, D.cone_split])
+    def test_partition(self, cloud, slicer):
+        rng = np.random.default_rng(0)
+        up, down = slicer(cloud, rng=rng)
+        assert len(up) + len(down) == len(cloud)
+        merged = np.vstack([up, down])
+        assert merged.shape == cloud.shape
+
+    def test_plane_split_semantics(self, cloud):
+        rng = np.random.default_rng(1)
+        up, down = D.plane_split(cloud, rng=rng)
+        # recompute with the same draws
+        rng = np.random.default_rng(1)
+        normal = rng.random(3)
+        z = rng.random() / 3
+        dis = cloud @ normal + z
+        np.testing.assert_array_equal(up, cloud[dis >= 0])
+        np.testing.assert_array_equal(down, cloud[dis < 0])
+
+    def test_deterministic_given_rng(self, cloud):
+        a = D.sphere_split(cloud, rng=np.random.default_rng(7))
+        b = D.sphere_split(cloud, rng=np.random.default_rng(7))
+        np.testing.assert_array_equal(a[0], b[0])
+
+
+class TestBoundary:
+    def test_np_boundary_contract(self, cloud):
+        up, down = D.plane_split(cloud, rng=np.random.default_rng(0))
+        up, down = up[:1024], down[:1024]
+        fpcb, rpcb, fpc_idx, rpc_idx = D.get_boundary_np(down, up)
+        assert fpcb.shape == (128, 3) and rpcb.shape == (128, 3)
+        assert fpc_idx.sum() == 128 and rpc_idx.sum() == 128
+        # boundary points are close to the other piece
+        d_all = ((down[:, None] - up[None]) ** 2).sum(-1).min(1)
+        d_bnd = ((fpcb[:, None] - up[None]) ** 2).sum(-1).min(1)
+        assert d_bnd.mean() <= d_all.mean() + 1e-9
+
+    def test_device_matches_np(self, cloud):
+        import jax.numpy as jnp
+
+        up, down = D.plane_split(cloud, rng=np.random.default_rng(0))
+        up, down = up[:512], down[:512]
+        fpcb, rpcb, fpc_idx, rpc_idx = D.get_boundary_np(down, up, k=64)
+        jb = D.boundary.get_boundary(jnp.asarray(down)[None],
+                                     jnp.asarray(up)[None], k=64) \
+            if hasattr(D, "boundary") else None
+        from puzzlenet_tpu.data.boundary import get_boundary
+        fb, rb, fi, ri = get_boundary(jnp.asarray(down)[None],
+                                      jnp.asarray(up)[None], k=64)
+        np.testing.assert_array_equal(np.asarray(fi[0]), fpc_idx)
+        np.testing.assert_array_equal(np.asarray(ri[0]), rpc_idx)
+        np.testing.assert_allclose(np.asarray(fb[0]), fpcb, atol=1e-6)
+
+
+class TestAugment:
+    def test_se3_exp_matches_jax(self):
+        import jax.numpy as jnp
+
+        from puzzlenet_tpu.semath import se3
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=6).astype(np.float32) * 0.8
+        g_np = D.se3_exp_np(x)
+        g_jx = np.asarray(se3.exp(jnp.asarray(x)))
+        np.testing.assert_allclose(g_np, g_jx, atol=1e-5)
+
+    def test_random_se3_invertible(self):
+        rng = np.random.default_rng(1)
+        p0 = rng.normal(size=(100, 3)).astype(np.float32)
+        p1, igt, gt, x = D.random_se3_np(np.random.default_rng(2), p0)
+        from puzzlenet_tpu.data.augment import transform_np
+        np.testing.assert_allclose(transform_np(gt, p1), p0, atol=1e-5)
+
+
+class TestDatasets:
+    def test_sliced_dataset_item(self):
+        clouds = D.synthetic_clouds("vase", count=4, n_points=4000, seed=0)
+        ds = D.SlicedCloudDataset(clouds, mode="train", split_rate=1.0)
+        up, down, fpcb, rpcb, fpc_idx, rpc_idx = ds[0]
+        assert up.shape == (1024, 3) and down.shape == (1024, 3)
+        assert fpcb.shape == (128, 3) and rpcb.shape == (128, 3)
+        assert fpc_idx.shape == (1024,) and rpc_idx.sum() == 128
+
+    def test_deterministic_per_index(self):
+        clouds = D.synthetic_clouds("blob", count=2, n_points=4000, seed=1)
+        ds = D.SlicedCloudDataset(clouds, mode="train", split_rate=1.0)
+        a, b = ds[0], ds[0]
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+        ds.set_epoch(1)
+        c = ds[0]
+        assert not np.array_equal(a[0], c[0])  # epochs reshuffle the cut
+
+    def test_split_twice_path(self):
+        clouds = D.synthetic_clouds("vase", count=4, n_points=8000, seed=2)
+        ds = D.SlicedCloudDataset(clouds, mode="train", split_rate=1.0,
+                                  split_twice=True)
+        for i in range(4):
+            item = ds[i]
+            assert item[0].shape == (1024, 3)
+            assert item[1].shape == (1024, 3)
+
+    def test_moved_dataset_contract(self):
+        clouds = D.synthetic_clouds("vase", count=2, n_points=4000, seed=3)
+        base = D.SlicedCloudDataset(clouds, mode="train", split_rate=1.0)
+        ds = D.MovedDataset(base)
+        fpc, mrpc, igt, rpc, fpcb, rpcb, fpc_idx, rpc_idx = ds[0]
+        assert fpc.shape == (1024, 3) and mrpc.shape == (1024, 3)
+        assert igt.shape == (4, 4)
+        # mrpc == igt . rpc
+        from puzzlenet_tpu.data.augment import transform_np
+        np.testing.assert_allclose(transform_np(igt, rpc), mrpc, atol=1e-5)
+        # twist magnitude 0.8 fixed by default
+        from puzzlenet_tpu.data.augment import se3_exp_np  # noqa: F401
+        R = igt[:3, :3]
+        assert abs(np.linalg.det(R) - 1) < 1e-4
+
+    def test_registry_categories(self):
+        for cat in ("vaser", "cadr", "bedr", "vase_sphere", "cad_cyl",
+                    "bed_cone"):
+            tr, va, te = D.get_dataset(cat, synth_count=4)
+            assert len(tr) > 0 and len(te) > 0
+            item = tr[0]
+            assert len(item) == 8
+
+    def test_unknown_category_raises(self):
+        with pytest.raises(ValueError):
+            D.get_dataset("nope")
+
+
+class TestMeshIO:
+    def test_off_roundtrip(self, tmp_path):
+        p = tmp_path / "tri.off"
+        p.write_text("OFF\n4 2 0\n0 0 0\n1 0 0\n0 1 0\n0 0 1\n"
+                     "3 0 1 2\n3 0 1 3\n")
+        mesh = meshio.offread(str(p))
+        assert mesh.vertex_array.shape == (4, 3)
+        assert len(mesh.faces) == 2
+        pts = mesh.sample_uniform(100, rng=np.random.default_rng(0))
+        assert pts.shape == (100, 3)
+
+    def test_broken_modelnet_header(self, tmp_path):
+        p = tmp_path / "broken.off"
+        p.write_text("OFF3 1 0\n0 0 0\n1 0 0\n0 1 0\n3 0 1 2\n")
+        mesh = meshio.offread(str(p))
+        assert mesh.vertex_array.shape == (3, 3)
+
+    def test_obj(self, tmp_path):
+        p = tmp_path / "t.obj"
+        p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1/1 2/2 3/3\n")
+        mesh = meshio.objread(str(p))
+        assert mesh.vertex_array.shape == (3, 3)
+        assert mesh.faces == [[0, 1, 2]]
+
+    def test_ply(self, tmp_path):
+        p = tmp_path / "t.ply"
+        p.write_text(
+            "ply\nformat ascii 1.0\nelement vertex 3\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "element face 1\nproperty list uchar int vertex_indices\n"
+            "end_header\n0 0 0\n1 0 0\n0 1 0\n3 0 1 2\n")
+        mesh = meshio.plyread(str(p))
+        assert mesh.vertex_array.shape == (3, 3)
+
+    def test_samples_on_surface(self, tmp_path):
+        p = tmp_path / "quad.off"
+        p.write_text("OFF\n4 1 0\n0 0 0\n1 0 0\n1 1 0\n0 1 0\n4 0 1 2 3\n")
+        mesh = meshio.offread(str(p))
+        pts = mesh.sample_uniform(200, rng=np.random.default_rng(1))
+        assert np.abs(pts[:, 2]).max() < 1e-6
+        assert pts[:, 0].min() >= 0 and pts[:, 0].max() <= 1
+
+
+class TestNativeFPS:
+    def test_matches_numpy(self):
+        pytest.importorskip("puzzlenet_tpu.native")
+        from puzzlenet_tpu.native import fps_native
+
+        rng = np.random.default_rng(0)
+        pts = rng.normal(size=(500, 3)).astype(np.float32)
+        idx = fps_native(pts, 32, 5)
+        dist = np.full(500, np.inf)
+        far = 5
+        ref = []
+        for _ in range(32):
+            ref.append(far)
+            d = ((pts - pts[far]) ** 2).sum(-1)
+            np.minimum(dist, d, out=dist)
+            far = int(np.argmax(dist))
+        np.testing.assert_array_equal(idx, ref)
