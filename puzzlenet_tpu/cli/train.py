@@ -1,0 +1,39 @@
+"""Train CLI.
+
+Capability parity with /root/reference/train.py: same flags (via
+core.config), the setting.txt/model.txt dumps, dataset registry lookup,
+fit + final test. Usage mirrors the README recipe:
+
+    python -m puzzlenet_tpu.cli.train --batch_size 64 --lr 0.9e-3 \
+        --loss_mode 1 --dataset vaser --pretrain_epochs 0
+"""
+
+from ..core.config import parse_args
+from ..data import get_dataset
+from ..train.evaluator import evaluate
+from ..train.trainer import Trainer
+
+
+def main(argv=None):
+    cfg = parse_args(argv)
+    print("************************************")
+    print("     ", cfg.output_path)
+    print("************************************")
+
+    train_ds, val_ds, test_ds = get_dataset(
+        cfg.dataset, random=cfg.random, random_slice=cfg.random_slice,
+        synth_count=cfg.synth_count)
+    print(f"train={len(train_ds)} val={len(val_ds)} test={len(test_ds)}")
+
+    trainer = Trainer(cfg)
+    state = trainer.fit(train_ds, val_ds)
+
+    result = evaluate(trainer.model, state.params, state.batch_stats,
+                      test_ds, output_path=cfg.output_path,
+                      batch_size=1, num_workers=cfg.num_workers)
+    print(result)
+    return result
+
+
+if __name__ == "__main__":
+    main()

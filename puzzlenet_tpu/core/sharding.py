@@ -1,0 +1,68 @@
+"""Device mesh and sharding layout.
+
+The reference is single-GPU (pl.Trainer(devices=[opt.device]), train.py:126;
+SURVEY.md §2.3 records no multi-device parallelism of any kind). The
+TPU-native design scales over an ICI mesh from day one:
+
+* ``data`` axis — batch sharding (piece-pairs are embarrassingly parallel);
+  gradients all-reduce automatically under jit when the batch is sharded.
+* ``model`` axis — optional tensor parallelism: the largest Dense kernels
+  (pose MLP 2048x1024, encoder projection 1280x1024) are column-sharded;
+  XLA inserts the all-gathers. The model is ~10 M params so this is reserve
+  capacity, but the mesh layout is real and exercised by dryrun_multichip.
+
+Works identically on 1 real chip (1x1 mesh) and N virtual CPU devices.
+"""
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data=-1, model=1, devices=None, batch_size=None):
+    """Build a ('data', 'model') mesh. data=-1 uses all remaining devices;
+    when ``batch_size`` is given, the data axis is clamped to its largest
+    divisor so batch sharding always divides evenly."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data == -1:
+        data = n // model
+    if batch_size is not None:
+        while data > 1 and batch_size % data != 0:
+            data -= 1
+    assert data * model <= n, (data, model, n)
+    dev_array = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(dev_array, ("data", "model"))
+
+
+def shard_batch(mesh, batch):
+    """Shard every leaf of a batch pytree along its leading (batch) axis."""
+    def put(x):
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def param_sharding_rule(mesh, min_size=1 << 18):
+    """Sharding fn for a param leaf: column-shard big 2-D kernels over
+    'model', replicate everything else."""
+    model_size = mesh.shape["model"]
+
+    def rule(x):
+        if (x.ndim == 2 and x.size >= min_size
+                and x.shape[1] % model_size == 0 and model_size > 1):
+            return NamedSharding(mesh, P(None, "model"))
+        return NamedSharding(mesh, P())
+
+    return rule
+
+
+def shard_params(mesh, params, min_size=1 << 18):
+    """device_put every param leaf according to the TP rule."""
+    rule = param_sharding_rule(mesh, min_size)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rule(x)),
+                                  params)

@@ -1,0 +1,100 @@
+"""Evaluation: the 10-metric test suite and metrics.txt writer.
+
+Capability parity with TouchedRegraster.test_step / test_epoch_end
+(model5_b.py:1279-1382): per-batch 10-vector
+[r_mse, r_mae, t_mse, t_mae, r_iso, t_iso, fpc_iou, mrpc_iou, cd_fpcb,
+cd_rpcb], averaged over the test set, written to
+``<out>/<timestamp>metrics.txt`` in the reference's exact format.
+
+Everything (including Euler extraction) runs inside one jitted step — the
+reference pays a D2H sync + per-sample scipy call per batch
+(metrics.py:19-31).
+"""
+
+import datetime
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .. import metrics as M
+from ..ops import chamfer_distances, index_points
+from ..semath import se3
+from .losses import Batch
+
+METRIC_NAMES = ["r_mse", "r_mae", "t_mse", "t_mae", "r_iso", "t_iso",
+                "fpc_iou", "mrpc_iou", "cd_fpcb", "cd_rpcb"]
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def test_step_metrics(model, params, batch_stats, batch: Batch):
+    """One test batch -> the 10 metrics (scalars, batch-averaged)."""
+    variables = {"params": params, "batch_stats": batch_stats}
+    out = model.apply(variables, batch.fpc, batch.mrpc, train=False)
+    mat = se3.exp(out.twist)
+    R, t = mat[:, :3, :3], mat[:, :3, 3]
+    r_mse, r_mae, t_mse, t_mae, r_iso, t_iso = M.compute_pose_metrics(
+        R, t, batch.igt)
+
+    # boundary IoU @ top-128 (model5_b.py:1323-1347)
+    logits_f = jnp.swapaxes(out.fpcb_logits, 1, 2)
+    logits_m = jnp.swapaxes(out.mrpcb_logits, 1, 2)
+    _, top_f = lax.top_k(logits_f[..., 1] - logits_f[..., 0], 128)
+    _, top_m = lax.top_k(logits_m[..., 1] - logits_m[..., 0], 128)
+    pred_f = jnp.put_along_axis(jnp.zeros_like(batch.fpc_idx), top_f, 1.0,
+                                axis=1, inplace=False)
+    pred_m = jnp.put_along_axis(jnp.zeros_like(batch.rpc_idx), top_m, 1.0,
+                                axis=1, inplace=False)
+    fpc_iou = jnp.sum(pred_f * batch.fpc_idx) / jnp.sum(
+        jnp.clip(pred_f + batch.fpc_idx, 0, 1))
+    mrpc_iou = jnp.sum(pred_m * batch.rpc_idx) / jnp.sum(
+        jnp.clip(pred_m + batch.rpc_idx, 0, 1))
+
+    # boundary chamfer; the mrpc side after applying the predicted transform
+    # — note the reference gathers from rpc here, not mrpc
+    # (model5_b.py:1351-1358)
+    de_fpcb = index_points(batch.fpc, top_f)
+    cd1, cd2 = chamfer_distances(batch.fpcb, de_fpcb)
+    cd_fpcb = jnp.mean(cd1) + jnp.mean(cd2)
+    de_rpcb = se3.transform_points(mat, index_points(batch.rpc, top_m))
+    cd1, cd2 = chamfer_distances(batch.rpcb, de_rpcb)
+    cd_rpcb = jnp.mean(cd1) + jnp.mean(cd2)
+
+    return jnp.stack([
+        jnp.mean(r_mse), jnp.mean(r_mae), jnp.mean(t_mse), jnp.mean(t_mae),
+        jnp.mean(r_iso), jnp.mean(t_iso), fpc_iou, mrpc_iou, cd_fpcb,
+        cd_rpcb])
+
+
+def evaluate(model, params, batch_stats, dataset, output_path=None,
+             batch_size=1, num_workers=4, progress=False):
+    """Full test loop -> dict of the 10 mean metrics; writes metrics.txt
+    when ``output_path`` is given (format of model5_b.py:1373-1382)."""
+    from .loader import Loader
+
+    loader = Loader(dataset, batch_size, shuffle=False, drop_last=False,
+                    num_workers=num_workers)
+    rows = []
+    for arrays in loader:
+        batch = Batch(*[np.asarray(a, np.float32) for a in arrays[:8]])
+        rows.append(np.asarray(
+            test_step_metrics(model, params, batch_stats, batch)))
+        if progress and len(rows) % 20 == 0:
+            print(f"  eval batch {len(rows)}/{len(loader)}")
+    mean = np.stack(rows).mean(axis=0)
+    result = dict(zip(METRIC_NAMES, mean.tolist()))
+
+    if output_path is not None:
+        os.makedirs(output_path, exist_ok=True)
+        stamp = datetime.datetime.now().strftime("%b%d_%H-%M-%S")
+        with open(os.path.join(output_path, f"{stamp}metrics.txt"),
+                  "w") as f:
+            f.write("r_mse,   r_mae,   t_mse,    t_mae,    r_iso,    t_iso,"
+                    "  fpc_iou,   mrpc_iou, cd_fpcb, cd_rpcb \n")
+            for v in mean:
+                f.write(str(np.float32(v)) + "   ")
+            f.write("\n")
+    return result

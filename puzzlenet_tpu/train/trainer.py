@@ -1,0 +1,276 @@
+"""Training harness.
+
+Capability parity with the Lightning setup (train.py:75-136 +
+TouchedRegraster.configure_optimizers / training_epoch_end,
+model5_b.py:1157-1170, 1453-1457):
+
+* Adam with the reference schedule lr * 0.999^(step // 50) stepped per step
+* pretrain gate: epoch < pretrain_epochs runs the pose-only predict6 path
+* per-epoch mean loss; writes ``stop.txt`` when it drops below 7
+  (model5_b.py:1165-1170)
+* checkpointing: top-2 by train_loss, every ``save_on_epochs`` epochs
+  (orbax CheckpointManager replacing Lightning ModelCheckpoint,
+  train.py:119-124), config embedded so eval can reconstruct the run
+* validation every ``check_val_every_n_epoch`` epochs (train.py:132) with
+  the val/* metric suite (model5_b.py:1172-1277)
+* TensorBoard scalars with the reference tag names, mesh + attention viz
+
+TPU-native: the train step is a single jitted function over a
+('data','model') mesh — batch sharded on data (gradient all-reduce is
+inserted by XLA), large kernels optionally column-sharded on model.
+"""
+
+import functools
+import os
+from typing import Any, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.config import Config
+from ..core.sharding import make_mesh, shard_batch, shard_params
+from ..models import PuzzleNet
+from .. import metrics as M
+from ..semath import se3
+from .loader import Loader
+from .logging_util import TBLogger
+from .losses import Batch, LossFlags, compute_losses
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def lr_schedule(base_lr):
+    """StepLR(step_size=50, gamma=0.999) applied per step
+    (model5_b.py:1453-1457)."""
+    def schedule(step):
+        return base_lr * jnp.power(0.999, step // 50)
+    return schedule
+
+
+def make_optimizer(cfg):
+    return optax.adam(lr_schedule(cfg.lr))
+
+
+def _loss_fn(model, params, batch_stats, batch, flags, pretrain):
+    variables = {"params": params, "batch_stats": batch_stats}
+    out, mutated = model.apply(
+        variables, batch.fpc, batch.mrpc, train=True, pretrain=pretrain,
+        mutable=["batch_stats"])
+    loss, metrics = compute_losses(out, batch, flags, pretrain)
+    return loss, (metrics, mutated["batch_stats"])
+
+
+@functools.partial(jax.jit, static_argnames=("model", "tx", "flags",
+                                             "pretrain"))
+def train_step(model, tx, flags, pretrain, state, batch):
+    grad_fn = jax.value_and_grad(_loss_fn, argnums=1, has_aux=True)
+    (_, (metrics, new_bs)), grads = grad_fn(
+        model, state.params, state.batch_stats, batch, flags, pretrain)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return TrainState(new_params, new_bs, new_opt, state.step + 1), metrics
+
+
+@functools.partial(jax.jit, static_argnames=("model", "pretrain"))
+def eval_step(model, pretrain, state, batch):
+    """validation_step metric suite (model5_b.py:1172-1277)."""
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    out = model.apply(variables, batch.fpc, batch.mrpc, train=False,
+                      pretrain=pretrain)
+    mat = se3.exp(out.twist)
+    R, t = mat[:, :3, :3], mat[:, :3, 3]
+    r_mse, r_mae, t_mse, t_mae, r_iso, t_iso = M.compute_pose_metrics(
+        R, t, batch.igt)
+    vals = {
+        "val/r_mse": jnp.mean(r_mse), "val/r_mae": jnp.mean(r_mae),
+        "val/t_mse": jnp.mean(t_mse), "val/t_mae": jnp.mean(t_mae),
+        "val/r_isotropic": jnp.mean(r_iso),
+        "val/t_isotropic": jnp.mean(t_iso),
+    }
+    if not pretrain:
+        from .losses import _boundary_terms
+        _, bmetrics = _boundary_terms(out, batch, mat,
+                                      LossFlags(log_all=False))
+        vals["val/fpc_iou"] = bmetrics["train/fpc_iou"]
+        vals["val/mrpcb_iou"] = bmetrics["train/mrpcb_iou"]
+    return vals
+
+
+class Trainer:
+    def __init__(self, cfg: Config, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh or make_mesh(cfg.mesh_data, cfg.mesh_model,
+                                      batch_size=cfg.batch_size)
+        self.model = PuzzleNet(
+            num_points=cfg.num_points,
+            asymmetric_global_quirk=cfg.asymmetric_global_quirk)
+        self.tx = make_optimizer(cfg)
+        self.flags = LossFlags(
+            loss_mode=cfg.loss_mode, loss_sum=cfg.loss_sum,
+            use_emd2=cfg.use_emd2, use_cd2=cfg.use_cd2,
+            use_emd3=cfg.use_emd3, log_all=cfg.log_all_losses)
+        self.logger = TBLogger(os.path.join(cfg.output_path, "tb"))
+        self.ckpt_manager = None
+        if cfg.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+
+    # -- state ------------------------------------------------------------
+
+    def init_state(self, example_batch: Batch, seed=None):
+        seed = self.cfg.seed if seed is None else seed
+        variables = self.model.init(
+            jax.random.PRNGKey(seed), example_batch.fpc, example_batch.mrpc,
+            train=False)
+        params = shard_params(self.mesh, variables["params"])
+        batch_stats = shard_params(self.mesh, variables["batch_stats"])
+        opt_state = self.tx.init(params)
+        return TrainState(params, batch_stats, opt_state,
+                          jnp.zeros((), jnp.int32))
+
+    # -- checkpointing ----------------------------------------------------
+
+    def _ckpt(self):
+        if self.ckpt_manager is None:
+            import orbax.checkpoint as ocp
+            path = os.path.abspath(
+                os.path.join(self.cfg.output_path, "checkpoints"))
+            os.makedirs(path, exist_ok=True)
+            self.ckpt_manager = ocp.CheckpointManager(
+                path,
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=2, best_fn=lambda m: m["train_loss"],
+                    best_mode="min"),
+            )
+        return self.ckpt_manager
+
+    def save_checkpoint(self, state, epoch, train_loss):
+        import orbax.checkpoint as ocp
+        self._ckpt().save(
+            epoch, args=ocp.args.StandardSave(
+                {"params": state.params, "batch_stats": state.batch_stats,
+                 "opt_state": state.opt_state,
+                 "step": state.step}),
+            metrics={"train_loss": float(train_loss)})
+
+    def restore_checkpoint(self, state, path=None, step=None):
+        """Restore a TrainState (elastic recovery / --resume)."""
+        import orbax.checkpoint as ocp
+        if path is not None:
+            mngr = ocp.CheckpointManager(os.path.abspath(path))
+        else:
+            mngr = self._ckpt()
+        step = mngr.latest_step() if step is None else step
+        template = {"params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state, "step": state.step}
+        restored = mngr.restore(step,
+                                args=ocp.args.StandardRestore(template))
+        return TrainState(restored["params"], restored["batch_stats"],
+                          restored["opt_state"], restored["step"])
+
+    # -- loops ------------------------------------------------------------
+
+    def _to_batch(self, arrays):
+        batch = Batch(*[np.asarray(a, np.float32) for a in arrays[:8]])
+        return shard_batch(self.mesh, batch)
+
+    def fit(self, train_ds, val_ds=None):
+        cfg = self.cfg
+        os.makedirs(cfg.output_path, exist_ok=True)
+        cfg.save(cfg.output_path)
+        with open(os.path.join(cfg.output_path, "model.txt"), "w") as f:
+            f.write("puzzlenet_tpu.models.PuzzleNet\n")
+        self.logger.text("message", cfg.m)
+        self.logger.text("path", cfg.output_path)
+        self.logger.text("loss_mode", cfg.loss_mode)
+        self.logger.text("lr", cfg.lr)
+
+        loader = Loader(train_ds, cfg.batch_size, shuffle=True,
+                        drop_last=True, num_workers=cfg.num_workers,
+                        seed=cfg.seed)
+        val_loader = None
+        if val_ds is not None and len(val_ds) >= cfg.batch_size:
+            val_loader = Loader(val_ds, cfg.batch_size, shuffle=False,
+                                drop_last=True, num_workers=cfg.num_workers)
+
+        state = None
+        global_step = 0
+        if cfg.profile_dir:
+            jax.profiler.start_trace(cfg.profile_dir)
+        try:
+            for epoch in range(cfg.epochs):
+                loader.set_epoch(epoch)
+                pretrain = epoch < cfg.pretrain_epochs
+                epoch_losses = []
+                for arrays in loader:
+                    batch = self._to_batch(arrays)
+                    if state is None:
+                        state = self.init_state(batch)
+                        if cfg.resume:
+                            state = self.restore_checkpoint(state,
+                                                            cfg.resume)
+                    state, metrics = train_step(
+                        self.model, self.tx, self.flags, pretrain, state,
+                        batch)
+                    global_step += 1
+                    epoch_losses.append(metrics["train_loss"])
+                    if global_step % 50 == 0 or global_step == 1:
+                        vals = {k: float(v) for k, v in metrics.items()}
+                        vals["lr"] = float(lr_schedule(cfg.lr)(
+                            global_step - 1))
+                        self.logger.scalars(vals, global_step)
+                    if cfg.max_steps and global_step >= cfg.max_steps:
+                        break
+
+                if not epoch_losses:
+                    raise RuntimeError(
+                        "empty epoch: dataset smaller than batch_size?")
+                epoch_loss = float(jnp.mean(jnp.stack(epoch_losses)))
+                self.logger.scalar("epoch_loss", epoch_loss, global_step)
+
+                # threshold-based early-stop marker (model5_b.py:1165-1170)
+                if epoch_loss < cfg.early_stop_threshold:
+                    with open(os.path.join(cfg.output_path, "stop.txt"),
+                              "w") as f:
+                        f.write(f"stop\n{epoch}\n{epoch_loss}")
+
+                if epoch % cfg.save_on_epochs == 0:
+                    self.save_checkpoint(state, epoch, epoch_loss)
+
+                if (val_loader is not None
+                        and (epoch + 1) % cfg.check_val_every_n_epoch == 0):
+                    self.validate(state, val_loader, pretrain, global_step)
+
+                if cfg.max_steps and global_step >= cfg.max_steps:
+                    break
+        finally:
+            if cfg.profile_dir:
+                jax.profiler.stop_trace()
+            if self.ckpt_manager is not None:
+                self.ckpt_manager.wait_until_finished()
+            self.logger.flush()
+        return state
+
+    def validate(self, state, val_loader, pretrain, global_step):
+        agg = None
+        n = 0
+        for arrays in val_loader:
+            batch = self._to_batch(arrays)
+            vals = eval_step(self.model, pretrain, state, batch)
+            vals = {k: float(v) for k, v in vals.items()}
+            agg = vals if agg is None else {
+                k: agg[k] + vals[k] for k in vals}
+            n += 1
+        if agg:
+            self.logger.scalars({k: v / n for k, v in agg.items()},
+                                global_step)
+        return {k: v / n for k, v in agg.items()} if agg else {}

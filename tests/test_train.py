@@ -1,0 +1,205 @@
+"""Training harness tests: loss modes, schedule, overfit-one-batch,
+end-to-end smoke via the CLI, checkpoint save/restore, sharded step on the
+8-device CPU mesh (SURVEY.md §4)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from puzzlenet_tpu.core.config import Config
+from puzzlenet_tpu.core.sharding import make_mesh, shard_batch
+from puzzlenet_tpu.models import PuzzleNet
+from puzzlenet_tpu.semath import se3, transforms
+from puzzlenet_tpu.train import Batch, LossFlags, compute_losses
+from puzzlenet_tpu.train.trainer import (Trainer, lr_schedule, make_optimizer,
+                                         train_step)
+
+N = 256  # small clouds for speed
+
+
+def _make_batch(b=2, n=N, k=32, seed=0):
+    """Synthetic, physically consistent batch: two halves of a sphere cloud,
+    mrpc = igt . rpc."""
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(size=(b, 2 * n, 3)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
+    fpc = pts[:, :n] * 0.98
+    rpc = pts[:, n:]
+    key = jax.random.PRNGKey(seed)
+    mrpc, igts = [], []
+    for i in range(b):
+        s = transforms.random_transform_se3(jax.random.fold_in(key, i),
+                                            jnp.asarray(rpc[i]), mag=0.8)
+        mrpc.append(np.asarray(s.p1))
+        igts.append(np.asarray(s.igt))
+    from puzzlenet_tpu.data.boundary import get_boundary_np
+    fpcb, rpcb, fidx, ridx = [], [], [], []
+    for i in range(b):
+        a, c, fi, ri = get_boundary_np(fpc[i], rpc[i], k=k)
+        fpcb.append(a), rpcb.append(c), fidx.append(fi), ridx.append(ri)
+    return Batch(jnp.asarray(fpc), jnp.asarray(np.stack(mrpc)),
+                 jnp.asarray(np.stack(igts)), jnp.asarray(rpc),
+                 jnp.asarray(np.stack(fpcb)), jnp.asarray(np.stack(rpcb)),
+                 jnp.asarray(np.stack(fidx)), jnp.asarray(np.stack(ridx)))
+
+
+@pytest.fixture(scope="module")
+def batch():
+    return _make_batch()
+
+
+@pytest.fixture(scope="module")
+def model_out(batch):
+    model = PuzzleNet(num_points=N)
+    variables = model.init(jax.random.PRNGKey(0), batch.fpc, batch.mrpc,
+                           train=False)
+    out = model.apply(variables, batch.fpc, batch.mrpc, train=False)
+    return model, variables, out
+
+
+class TestLosses:
+    @pytest.mark.parametrize("mode", range(7))
+    def test_all_loss_modes_finite(self, batch, model_out, mode):
+        _, _, out = model_out
+        loss, metrics = compute_losses(out, batch, LossFlags(loss_mode=mode),
+                                       pretrain=False)
+        assert np.isfinite(float(loss))
+        assert np.isfinite(float(metrics["train/fpc_iou"]))
+
+    def test_pretrain_skips_boundary(self, batch, model_out):
+        _, _, out = model_out
+        _, metrics = compute_losses(out, batch, LossFlags(loss_mode=0),
+                                    pretrain=True)
+        assert "train/loss_fpcb_cel" not in metrics
+
+    def test_loss_mode_composition(self, batch, model_out):
+        _, _, out = model_out
+        flags = LossFlags(loss_mode=1, log_all=True)
+        _, m = compute_losses(out, batch, flags, pretrain=True)
+        np.testing.assert_allclose(
+            float(m["train_loss"]),
+            float(m["train/loss_re"] + m["train/loss_g"]
+                  + m["train/loss_emd"]), rtol=1e-5)
+
+    def test_perfect_pose_gives_small_g_loss(self, batch, model_out):
+        _, _, out = model_out
+        # substitute a perfect twist: log(inv(igt))
+        perfect = se3.log(se3.inverse(batch.igt))
+        out2 = out._replace(twist=perfect)
+        _, m = compute_losses(out2, batch, LossFlags(loss_mode=0),
+                              pretrain=True)
+        assert float(m["train/loss_g"]) < 1e-5
+        assert float(m["train/loss_re"]) < 1e-5
+
+    def test_aux_flags(self, batch, model_out):
+        _, _, out = model_out
+        flags = LossFlags(loss_mode=0, use_emd2=True, use_cd2=True)
+        loss, m = compute_losses(out, batch, flags, pretrain=True)
+        assert "train_emd2" in m and "train/cd2" in m
+        base, _ = compute_losses(out, batch, LossFlags(loss_mode=0),
+                                 pretrain=True)
+        assert float(loss) != float(base)
+
+
+class TestSchedule:
+    def test_steplr(self):
+        s = lr_schedule(1e-3)
+        assert float(s(0)) == pytest.approx(1e-3)
+        assert float(s(49)) == pytest.approx(1e-3)
+        assert float(s(50)) == pytest.approx(1e-3 * 0.999)
+        assert float(s(500)) == pytest.approx(1e-3 * 0.999 ** 10)
+
+
+class TestTrainStep:
+    def test_overfit_one_batch(self, batch):
+        """The e2e slice (SURVEY.md §7.3): loss_mode 0, pretrain path,
+        loss decreases when overfitting a single batch."""
+        cfg = Config(batch_size=2, num_points=N, loss_mode=0, lr=3e-4)
+        mesh = make_mesh(1, 1)
+        trainer = Trainer(cfg, mesh=mesh)
+        state = trainer.init_state(batch)
+        flags = LossFlags(loss_mode=0)
+        losses = []
+        for _ in range(30):
+            state, metrics = train_step(trainer.model, trainer.tx, flags,
+                                        True, state, batch)
+            losses.append(float(metrics["train_loss"]))
+        # Adam spikes in the first steps on a fresh model; require the tail
+        # to have descended clearly below the starting loss
+        assert min(losses[-5:]) < losses[0] * 0.7, losses
+
+    def test_sharded_step_on_8_devices(self):
+        """Multi-chip validation on the virtual CPU mesh: batch sharded over
+        8 devices, params replicated, one step runs and loss is finite."""
+        assert len(jax.devices()) == 8
+        mesh = make_mesh(8, 1)
+        b = _make_batch(b=8)
+        cfg = Config(batch_size=8, num_points=N, loss_mode=0)
+        trainer = Trainer(cfg, mesh=mesh)
+        sharded = shard_batch(mesh, b)
+        state = trainer.init_state(sharded)
+        state, metrics = train_step(trainer.model, trainer.tx,
+                                    LossFlags(loss_mode=0), True, state,
+                                    sharded)
+        assert np.isfinite(float(metrics["train_loss"]))
+
+    def test_dp_matches_single_device(self):
+        """Gradient all-reduce correctness: the sharded loss equals the
+        unsharded loss at step 1 AND step 2 (step 2 sees the updated params,
+        so any gradient error would compound). Param tensors are not
+        compared bitwise: Adam's sqrt-normalized updates amplify
+        reduction-order fp noise to ~eps*lr, which is expected."""
+        b = _make_batch(b=8, seed=3)
+        cfg = Config(batch_size=8, num_points=N, loss_mode=0)
+
+        t1 = Trainer(cfg, mesh=make_mesh(1, 1))
+        s1 = t1.init_state(b)
+        t8 = Trainer(cfg, mesh=make_mesh(8, 1))
+        sb = shard_batch(t8.mesh, b)
+        s8 = t8.init_state(sb)
+
+        for step in range(2):
+            s1, m1 = train_step(t1.model, t1.tx, LossFlags(0), True, s1, b)
+            s8, m8 = train_step(t8.model, t8.tx, LossFlags(0), True, s8, sb)
+            np.testing.assert_allclose(float(m1["train_loss"]),
+                                       float(m8["train_loss"]), rtol=2e-3,
+                                       err_msg=f"step {step}")
+
+
+class TestEndToEnd:
+    def test_cli_smoke(self, tmp_path):
+        """Tiny full run through the train CLI: 1 epoch, synthetic vaser,
+        writes setting.txt, checkpoints, metrics.txt."""
+        from puzzlenet_tpu.cli.train import main
+
+        out = str(tmp_path / "run")
+        result = main([
+            "--dataset", "vaser", "--batch_size", "2", "--epochs", "1",
+            "--pretrain_epochs", "0", "--loss_mode", "0", "--synth_count",
+            "4", "--num_points", "256", "--num_workers", "2",
+            "--output_path", out, "--max_steps", "2",
+        ])
+        assert os.path.exists(os.path.join(out, "setting.txt"))
+        assert os.path.exists(os.path.join(out, "model.txt"))
+        assert os.path.isdir(os.path.join(out, "checkpoints"))
+        assert any(f.endswith("metrics.txt") for f in os.listdir(out))
+        assert all(np.isfinite(v) for v in result.values())
+
+    def test_checkpoint_roundtrip(self, tmp_path, batch):
+        cfg = Config(batch_size=2, num_points=N, loss_mode=0,
+                     output_path=str(tmp_path / "ckpt_run"))
+        trainer = Trainer(cfg, mesh=make_mesh(1, 1))
+        state = trainer.init_state(batch)
+        state, m = train_step(trainer.model, trainer.tx, LossFlags(0), True,
+                              state, batch)
+        trainer.save_checkpoint(state, 0, float(m["train_loss"]))
+        trainer.ckpt_manager.wait_until_finished()
+
+        fresh = trainer.init_state(batch, seed=123)
+        restored = trainer.restore_checkpoint(fresh)
+        for a, c in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
