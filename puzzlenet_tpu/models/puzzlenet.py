@@ -51,15 +51,28 @@ class PoseMLP(nn.Module):
 
 
 class _PointMLP(nn.Module):
+    """Per-point MLP applied on a flattened [B*N, C] view.
+
+    The flatten is load-bearing, not cosmetic: a Dense on a rank-3
+    [B, N, 64] tensor whose producer (the encoder's point-slot BN) forces a
+    transposed layout gets lowered by the TPU backend as a spatial-major
+    convolution, and with --xla_allow_excess_precision the fused bf16
+    window op hits an XLA compiler CHECK failure (fusion_util
+    TransformWindow, "Loop will not make progress"). A 2-D dot takes the
+    canonical MXU matmul path and is faster anyway.
+    """
+
     widths: tuple
 
     @nn.compact
     def __call__(self, x):
+        b, n, c = x.shape
+        x = x.reshape(b * n, c)
         for i, w in enumerate(self.widths):
             x = nn.Dense(w)(x)
             if i + 1 < len(self.widths):
                 x = nn.relu(x)
-        return x
+        return x.reshape(b, n, self.widths[-1])
 
 
 class PuzzleNet(nn.Module):

@@ -1,0 +1,63 @@
+"""Assembly + viz tests: greedy multi-piece loop runs end-to-end on a small
+model; PLY/PTS writers roundtrip through our own readers."""
+
+import jax
+import numpy as np
+import pytest
+
+from puzzlenet_tpu import viz
+from puzzlenet_tpu.assembly import greedy_assemble, score_pairs
+from puzzlenet_tpu.data.meshio import plyread
+from puzzlenet_tpu.models import PuzzleNet
+
+N = 256
+
+
+@pytest.fixture(scope="module")
+def model_and_pieces():
+    rng = np.random.default_rng(0)
+    # 3 fragments of a sphere surface (thirds by z)
+    u = rng.standard_normal((3 * N, 3)).astype(np.float32)
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    order = np.argsort(u[:, 2])
+    pieces = [u[order[i * N:(i + 1) * N]] for i in range(3)]
+    model = PuzzleNet(num_points=N)
+    variables = model.init(jax.random.PRNGKey(0), pieces[0][None],
+                           pieces[1][None], train=False)
+    return model, variables, pieces
+
+
+class TestAssembly:
+    def test_score_pairs_shapes(self, model_and_pieces):
+        model, variables, pieces = model_and_pieces
+        pairs, twists, scores = score_pairs(model, variables, pieces)
+        assert len(pairs) == 6  # 3 * 2 ordered pairs
+        assert twists.shape == (6, 6)
+        assert scores.shape == (6,)
+        assert np.all(np.isfinite(np.asarray(scores)))
+
+    def test_greedy_assemble_converges(self, model_and_pieces):
+        model, variables, pieces = model_and_pieces
+        result = greedy_assemble(model, variables, pieces, num_points=N)
+        assert result.assembled.shape == (N, 3)
+        assert len(result.merge_order) == 2  # 3 pieces -> 2 merges
+        assert len(result.transforms) == 2
+        for g in result.transforms:
+            assert g.shape == (4, 4)
+            np.testing.assert_allclose(g[3], [0, 0, 0, 1], atol=1e-6)
+
+
+class TestViz:
+    def test_ply_roundtrip(self, tmp_path):
+        pts = np.random.default_rng(0).normal(size=(50, 3)).astype(np.float32)
+        p = tmp_path / "out.ply"
+        viz.save_ply(str(p), pts)
+        mesh = plyread(str(p))
+        np.testing.assert_allclose(mesh.vertex_array, pts, rtol=1e-6)
+
+    def test_pts_format(self, tmp_path):
+        pts = np.asarray([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+        p = tmp_path / "out.pts"
+        viz.save_pts(str(p), pts)
+        back = np.loadtxt(str(p))
+        np.testing.assert_allclose(back, pts)
