@@ -207,3 +207,45 @@ class TestNativeFPS:
             np.minimum(dist, d, out=dist)
             far = int(np.argmax(dist))
         np.testing.assert_array_equal(idx, ref)
+
+
+class TestDevicePipeline:
+    def test_batch_contract(self):
+        import jax
+        import jax.numpy as jnp
+
+        from puzzlenet_tpu.data.device_pipeline import make_batch
+        from puzzlenet_tpu.semath import se3
+
+        clouds = np.stack(list(D.synthetic_clouds("vase", count=2,
+                                                  n_points=4096, seed=0)))
+        batch = make_batch(jax.random.PRNGKey(0), jnp.asarray(clouds),
+                           npoint=512, boundary_k=64)
+        assert batch.fpc.shape == (2, 512, 3)
+        assert batch.mrpc.shape == (2, 512, 3)
+        assert batch.igt.shape == (2, 4, 4)
+        # mrpc == igt . rpc
+        np.testing.assert_allclose(
+            np.asarray(se3.transform_points(batch.igt, batch.rpc)),
+            np.asarray(batch.mrpc), atol=1e-5)
+        # masks mark exactly k boundary points
+        assert float(batch.fpc_idx.sum()) == 2 * 64
+        # pieces are disjoint subsets of the cloud (up/down partition)
+        fpc0 = np.asarray(batch.fpc[0])
+        rpc0 = np.asarray(batch.rpc[0])
+        d = ((fpc0[:, None] - rpc0[None]) ** 2).sum(-1)
+        assert d.min() > 0  # no shared points
+
+    def test_deterministic(self):
+        import jax
+        import jax.numpy as jnp
+
+        from puzzlenet_tpu.data.device_pipeline import make_batch
+
+        clouds = np.stack(list(D.synthetic_clouds("blob", count=2,
+                                                  n_points=4096, seed=1)))
+        b1 = make_batch(jax.random.PRNGKey(7), jnp.asarray(clouds),
+                        npoint=512, boundary_k=64)
+        b2 = make_batch(jax.random.PRNGKey(7), jnp.asarray(clouds),
+                        npoint=512, boundary_k=64)
+        np.testing.assert_array_equal(np.asarray(b1.fpc), np.asarray(b2.fpc))
