@@ -25,15 +25,18 @@ from .synthetic import synthetic_clouds
 from .datasets import (
     BuildingDataset,
     MovedDataset,
+    MovedPairDataset,
     PrecomputedPairDataset,
+    PrecutPairDataset,
     SlicedCloudDataset,
 )
-from .registry import get_dataset, get_test_dataset
+from .registry import get_cad_datasets, get_dataset, get_test_dataset
 
 __all__ = [
     "plane_split", "sphere_split", "cylinder_split", "cone_split",
     "get_boundary", "get_boundary_np", "random_se3_np", "se3_exp_np",
     "synthetic_clouds", "SlicedCloudDataset", "MovedDataset",
     "BuildingDataset", "PrecomputedPairDataset",
-    "get_dataset", "get_test_dataset",
+    "MovedPairDataset", "PrecutPairDataset",
+    "get_dataset", "get_test_dataset", "get_cad_datasets",
 ]

@@ -207,6 +207,58 @@ class MovedDataset:
         return out
 
 
+class MovedPairDataset:
+    """4-tuple rigid-augmentation wrapper (MovedCADDataset,
+    dataset.py:108-121): (down, mup, igt, up) — the boundary-less legacy
+    contract used by get_cad_datasets' 'cad'/'cadr'/'cadpro*' categories."""
+
+    def __init__(self, dataset, mag=0.8, mag_randomly=False, seed=1):
+        self.dataset = dataset
+        self.mag = mag
+        self.mag_randomly = mag_randomly
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+
+    def __getitem__(self, index):
+        item = self.dataset[index]
+        up, down = item[0], item[1]
+        rng = np.random.default_rng((self.seed, self.epoch, index, 7))
+        mup, igt, _, _ = random_se3_np(rng, np.asarray(up, np.float32),
+                                       self.mag, self.mag_randomly)
+        return np.asarray(down, np.float32), mup, igt, np.asarray(
+            up, np.float32)
+
+
+class PrecutPairDataset:
+    """Precomputed up/down piece npys (cad_dataset, dataset.py:211-270
+    family: `<base>_up_train.npy` / `<base>_down_train.npy`)."""
+
+    def __init__(self, path, base="np_oa", train=True, split=0.8):
+        suffix = "_train.npy"
+        self.up = np.load(os.path.join(path, f"{base}_up{suffix}"),
+                          allow_pickle=True)
+        self.down = np.load(os.path.join(path, f"{base}_down{suffix}"),
+                            allow_pickle=True)
+        cut = int(len(self.up) * split)
+        sl = slice(None, cut) if train else slice(cut, None)
+        self.up, self.down = self.up[sl], self.down[sl]
+
+    def __len__(self):
+        return len(self.up)
+
+    def __getitem__(self, index):
+        return (np.asarray(self.up[index], np.float32),
+                np.asarray(self.down[index], np.float32))
+
+
 class BuildingDataset:
     """Precomputed facade/roof 1024-point pairs (dataset.py:1370-1429)."""
 

@@ -105,3 +105,80 @@ def get_dataset(category, random=False, random_slice=False, synth_count=64):
 def get_test_dataset(category, random=False, random_slice=False):
     """Standalone test split (dataset.py:777-787 contract)."""
     return get_dataset(category, random=random, random_slice=random_slice)[2]
+
+
+class _PrecutSynthAdapter:
+    """Slice synthetic clouds ONCE at construction into (up, down) pairs —
+    the synthetic stand-in for the reference's precomputed np_oa_*_up/down
+    piece npys."""
+
+    def __init__(self, family, count, seed, slicer=plane_split):
+        clouds = synthetic_clouds(family=family, count=count, seed=seed)
+        self.pairs = []
+        for i, pc in enumerate(clouds):
+            rng = np.random.default_rng((seed, i))
+            for _ in range(64):
+                up, down = slicer(np.asarray(pc, np.float32), rng=rng)
+                if len(up) >= 1024 and len(down) >= 1024:
+                    break
+            from .augment import fps_np
+            self.pairs.append((fps_np(up, 1024, rng=rng),
+                               fps_np(down, 1024, rng=rng)))
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def __getitem__(self, index):
+        return self.pairs[index]
+
+
+def get_cad_datasets(category="cad", random=False, random_slice=False,
+                     synth_count=16):
+    """Legacy 2-tuple (train, test) registry (dataset.py:611-703).
+
+    'cad'/'cadr'/'cadpro'/'cadpro_cone'/'cadpro_sphere' -> boundary-less
+    4-tuple pairs (MovedPairDataset); 'cadrr'/'cadrr2' -> the 8-tuple
+    slice-on-draw contract; 'bs'/'snp' -> precomputed up/down/igt/mup npys.
+    Falls back to synthetic stand-ins when npy payloads are absent.
+    """
+    from .datasets import (MovedPairDataset, PrecomputedPairDataset,
+                           PrecutPairDataset, SlicedCloudDataset)
+
+    slicer_map = {"cadpro": cylinder_split, "cadpro_cone": cone_split,
+                  "cadpro_sphere": sphere_split}
+
+    if category in ("cad", "cadr") or category in slicer_map:
+        base = {"cad": "np_oa", "cadr": "np_oa",
+                "cadpro": "np_oa_cylinder", "cadpro_cone": "np_oa_cone",
+                "cadpro_sphere": "np_oa_sphere"}[category]
+        slicer = slicer_map.get(category, plane_split)
+        try:
+            tr = PrecutPairDataset(data_dir(), base, train=True)
+            te = PrecutPairDataset(data_dir(), base, train=False)
+        except FileNotFoundError:
+            tr = _PrecutSynthAdapter("airplane", synth_count, 0, slicer)
+            te = _PrecutSynthAdapter("airplane", max(synth_count // 4, 4),
+                                     999, slicer)
+        rand = True if category == "cad" else random
+        return (MovedPairDataset(tr, mag_randomly=rand, seed=1),
+                MovedPairDataset(te, mag_randomly=rand, seed=2))
+
+    if category in ("cadrr", "cadrr2"):
+        clouds = _load_clouds("np_out2_all_11000_train_2.npy", "airplane",
+                              synth_count, seed=0)
+        mk = lambda mode: SlicedCloudDataset(  # noqa: E731
+            clouds, mode=mode, split_rate=0.8,
+            split_twice=(category == "cadrr2" and random_slice))
+        from .datasets import MovedDataset
+        return (MovedDataset(mk("train"), mag_randomly=random, seed=1),
+                MovedDataset(mk("val"), mag_randomly=random, seed=2))
+
+    if category in ("bs", "snp"):
+        prefix = {"bs": "bs", "snp": "spn_airplane"}[category]
+        sub = {"bs": "resso", "snp": "shapenet_part"}[category]
+        path = os.path.join(data_dir(), sub)
+        tr = PrecomputedPairDataset(path, prefix, train=True)
+        te = PrecomputedPairDataset(path, prefix, train=False)
+        return tr, te
+
+    raise ValueError(f"Unknown cad dataset category: {category!r}")

@@ -249,3 +249,20 @@ class TestDevicePipeline:
         b2 = make_batch(jax.random.PRNGKey(7), jnp.asarray(clouds),
                         npoint=512, boundary_k=64)
         np.testing.assert_array_equal(np.asarray(b1.fpc), np.asarray(b2.fpc))
+
+
+class TestLegacyRegistry:
+    def test_get_cad_datasets_pairs(self):
+        tr, te = D.get_cad_datasets("cad", synth_count=4)
+        down, mup, igt, up = tr[0]
+        assert down.shape == (1024, 3) and igt.shape == (4, 4)
+        from puzzlenet_tpu.data.augment import transform_np
+        np.testing.assert_allclose(transform_np(igt, up), mup, atol=1e-5)
+
+    def test_get_cad_datasets_boundary_variant(self):
+        tr, te = D.get_cad_datasets("cadrr", synth_count=4)
+        assert len(tr[0]) == 8
+
+    def test_unknown(self):
+        with pytest.raises(ValueError):
+            D.get_cad_datasets("nope")
