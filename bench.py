@@ -41,13 +41,18 @@ def measure_tpu(batch=BATCH, n=NPOINTS, iters=20, warmup=3):
         out = model.apply(variables, fpc, mrpc, train=False)
         return out.twist, out.fpcb_logits, out.mrpcb_logits
 
+    def sync(r):
+        # block_until_ready does not synchronize over the remote-TPU
+        # tunnel; a host readback of one element does
+        np.asarray(r[0].ravel()[0])
+
     for _ in range(warmup):
         r = forward(variables, fpc, mrpc)
-    jax.block_until_ready(r)
+    sync(r)
     t0 = time.perf_counter()
     for _ in range(iters):
         r = forward(variables, fpc, mrpc)
-    jax.block_until_ready(r)
+    sync(r)
     dt = (time.perf_counter() - t0) / iters
     return batch / dt
 

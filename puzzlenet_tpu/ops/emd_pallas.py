@@ -32,20 +32,21 @@ def _levels():
     return ls
 
 
-def _emd_kernel(multiL, multiR, x1_ref, x2_ref, cost_ref, g1_ref, g2_ref,
+def _emd_kernel(multiL, multiR, x1_ref, x2_ref, g1_ref, g2_ref,
                 d_scratch, match_scratch):
     # x1_ref [1, n, 3], x2_ref [1, m, 3] (leading block axis); scratch [n, m]
     x1 = x1_ref[0]
     x2 = x2_ref[0]
     n, m = d_scratch.shape
 
-    # squared distances once, on the MXU
-    cross = jax.lax.dot_general(
-        x1, x2, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # [n, m]
-    s1 = jnp.sum(x1 * x1, axis=1, keepdims=True)            # [n, 1]
-    s2 = jnp.sum(x2 * x2, axis=1, keepdims=True)            # [m, 1]
-    d_scratch[:, :] = s1 + s2.T - 2.0 * cross
+    # squared distances once. Elementwise, NOT the matmul expansion: the
+    # in-kernel MXU pass is bf16-precision, whose ~1e-1 absolute error can
+    # push D negative and overflow exp(-4^7 * D). Elementwise f32 matches
+    # the CUDA kernel's d = sum (x2-x1)^2 exactly (emd_kernel.cu:76).
+    dx = x1[:, 0:1] - x2[:, 0:1].T                          # [n, m]
+    dy = x1[:, 1:2] - x2[:, 1:2].T
+    dz = x1[:, 2:3] - x2[:, 2:3].T
+    d_scratch[:, :] = dx * dx + dy * dy + dz * dz
     match_scratch[:, :] = jnp.zeros((n, m), jnp.float32)
 
     remainL = jnp.full((n, 1), multiL, jnp.float32)
@@ -66,15 +67,16 @@ def _emd_kernel(multiL, multiR, x1_ref, x2_ref, cost_ref, g1_ref, g2_ref,
                                                      keepdims=True))
 
     match = match_scratch[:, :]
-    cost_ref[0, 0] = jnp.sum(d_scratch[:, :] * match)
     mass1 = jnp.sum(match, axis=1, keepdims=True)           # [n, 1]
     mass2 = jnp.sum(match, axis=0, keepdims=True)           # [1, m]
     mx2 = jax.lax.dot_general(
         match, x2, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # [n, 3]
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                # [n, 3]
     mtx1 = jax.lax.dot_general(
         match, x1, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # [m, 3]
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                # [m, 3]
     g1_ref[0] = 2.0 * (x1 * mass1 - mx2)
     g2_ref[0] = 2.0 * (x2 * mass2.T - mtx1)
 
@@ -86,7 +88,7 @@ def _emd_forward_pallas(xyz1, xyz2):
     multiL = float(1 if n >= m else m // n)
     multiR = float(n // m if n >= m else 1)
 
-    cost, g1, g2 = pl.pallas_call(
+    g1, g2 = pl.pallas_call(
         functools.partial(_emd_kernel, multiL, multiR),
         grid=(B,),
         in_specs=[
@@ -96,15 +98,12 @@ def _emd_forward_pallas(xyz1, xyz2):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, 3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m, 3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, n, 3), jnp.float32),
             jax.ShapeDtypeStruct((B, m, 3), jnp.float32),
         ),
@@ -112,8 +111,17 @@ def _emd_forward_pallas(xyz1, xyz2):
             pltpu.VMEM((n, m), jnp.float32),
             pltpu.VMEM((n, m), jnp.float32),
         ],
+        # D + match scratch (8 MB at n=m=1024) plus round intermediates
+        # exceed the default 16 MB scoped-vmem budget; raise it.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(xyz1, xyz2)
-    return cost[:, 0], g1, g2
+    # cost recovered from the analytic grads: sum(g1.x1) + sum(g2.x2)
+    #   = 2 sum match (x1-x2).(x1-x2) = 2 cost  (avoids a scalar output,
+    # which Pallas TPU block rules disallow)
+    cost = 0.5 * (jnp.sum(g1 * xyz1, axis=(1, 2))
+                  + jnp.sum(g2 * xyz2, axis=(1, 2)))
+    return cost, g1, g2
 
 
 @jax.custom_vjp

@@ -133,8 +133,22 @@ class Trainer:
         params = shard_params(self.mesh, variables["params"])
         batch_stats = shard_params(self.mesh, variables["batch_stats"])
         opt_state = self.tx.init(params)
-        return TrainState(params, batch_stats, opt_state,
-                          jnp.zeros((), jnp.int32))
+        # commit every state leaf to the mesh: freshly-created scalars
+        # (adam count, step) otherwise carry SingleDeviceSharding, and the
+        # first train_step output would change their sharding -> a silent
+        # full recompile on step 2
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(self.mesh, P())
+
+        def commit(x):
+            if hasattr(x, "sharding") and isinstance(x.sharding,
+                                                     NamedSharding):
+                return x
+            return jax.device_put(x, repl)
+
+        opt_state = jax.tree_util.tree_map(commit, opt_state)
+        step = jax.device_put(jnp.zeros((), jnp.int32), repl)
+        return TrainState(params, batch_stats, opt_state, step)
 
     # -- checkpointing ----------------------------------------------------
 
