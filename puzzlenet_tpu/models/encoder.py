@@ -19,7 +19,8 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops import sample_and_group
+from ..ops import farthest_point_sample, index_points
+from ..ops.sg_pallas import fused_set_abstraction
 
 
 class PointSlotBatchNorm(nn.Module):
@@ -98,19 +99,30 @@ class PCTEncoder(nn.Module):
             nn.Dense(self.feature_size, name="mlp2")(x),
             use_running_average=not train))
 
-        # stage 1: FPS 512 + kNN 32, shared MLP, max over neighbors
-        x1, f1 = sample_and_group(self.sg1_points, 0, self.knn, xyz,
-                                  x_feature, knn=True)
-        f1f = nn.relu(nn.Dense(128, name="mlp3")(f1))
-        f1f = nn.relu(nn.Dense(self.gs2_feature_size, name="mlp4")(f1f))
-        f1f = jnp.max(f1f, axis=-2)                      # [B, 512, 128]
+        # set-abstraction stages: FPS centroids, then the fused
+        # kNN+gather+MLP+max kernel (ops/sg_pallas.py) — the unfused
+        # reference-shaped path runs off-TPU with identical math
+        def sg_params(name, c_in, h1, h2):
+            init = nn.initializers.lecun_normal()
+            zeros = nn.initializers.zeros_init()
+            return (self.param(f"{name}a_kernel", init, (c_in, h1)),
+                    self.param(f"{name}a_bias", zeros, (h1,)),
+                    self.param(f"{name}b_kernel", init, (h1, h2)),
+                    self.param(f"{name}b_bias", zeros, (h2,)))
 
-        # stage 2: FPS 256 + kNN 32
-        x2, f2 = sample_and_group(self.sg2_points, 0, self.knn, x1, f1f,
-                                  knn=True)
-        f2f = nn.relu(nn.Dense(d2, name="mlp5")(f2))
-        f2f = nn.relu(nn.Dense(d2, name="mlp6")(f2f))
-        f2f = jnp.max(f2f, axis=-2)                      # [B, 256, 256]
+        # stage 1: FPS 512 + kNN 32, shared MLP(67->128->128), max
+        w3, b3, w4, b4 = sg_params("mlp34", self.feature_size + 3, 128,
+                                   self.gs2_feature_size)
+        x1 = index_points(xyz, farthest_point_sample(xyz, self.sg1_points))
+        f1f = fused_set_abstraction(x1, xyz, x_feature, w3, b3, w4, b4,
+                                    self.knn)             # [B, 512, 128]
+
+        # stage 2: FPS 256 + kNN 32, shared MLP(131->256->256), max
+        w5, b5, w6, b6 = sg_params("mlp56", self.gs2_feature_size + 3, d2,
+                                   d2)
+        x2 = index_points(x1, farthest_point_sample(x1, self.sg2_points))
+        f2f = fused_set_abstraction(x2, x1, f1f, w5, b5, w6, b6,
+                                    self.knn)             # [B, 256, 256]
 
         # 4 stacked offset-attention blocks; attentions averaged
         att1, attention1 = OffsetAttention(d2, name="atten1")(f2f)
