@@ -25,7 +25,7 @@ import numpy as np
 
 from .augment import fps_np, random_se3_np, transform_np
 from .boundary import get_boundary_np
-from .slicers import plane_split
+from .slicers import plane_split, sample_cut_surface
 
 NPOINT = 1024
 BOUNDARY_K = 128
@@ -76,15 +76,22 @@ class SlicedCloudDataset:
         return np.random.default_rng((self.seed, self.epoch, index))
 
     def _cut_until_big_enough(self, pc, rng):
-        """Re-slice until both sides have >= NPOINT points (bounded)."""
+        """Re-slice until both sides have >= NPOINT points (bounded).
+        Stashes the cut parameters in self._last_cut when return_cut is on
+        (dataset4val2's need=True contract)."""
         for _ in range(self.max_retries):
-            up, down = self.slicer(pc, rng=rng)
+            res = self.slicer(pc, rng=rng, need=self.return_cut)
+            up, down = res[0], res[1]
             if len(up) >= NPOINT and len(down) >= NPOINT:
+                self._last_cut = res[2] if self.return_cut else None
                 return up, down
         # guaranteed fallback: plane through the centroid along the widest
         # axis splits any cloud with >= 2*NPOINT points into two big halves
         axis = int(np.argmax(pc.max(0) - pc.min(0)))
         med = np.median(pc[:, axis])
+        normal = np.eye(3)[axis]
+        self._last_cut = {"type": "plane", "normal": normal,
+                          "z": -float(med)} if self.return_cut else None
         up = pc[pc[:, axis] >= med]
         down = pc[pc[:, axis] < med]
         return up, down
@@ -165,9 +172,14 @@ class SlicedCloudDataset:
         else:
             item = self._getitem_once(pc, rng)
         if self.return_cut:
-            # expose the cut surface proxy: the union of both boundary sets
-            # (dataset4val2's 'need' returns the cutting primitive samples)
-            cut = np.vstack([item[2], item[3]])
+            # dataset4val2's need=True returns the cutting primitive
+            # (dataset4val2.py:38-109); here: points sampled on the
+            # analytic cut surface (boundary union if unavailable, e.g.
+            # split_twice paths)
+            if getattr(self, "_last_cut", None) is not None:
+                cut = sample_cut_surface(self._last_cut, n=512, rng=rng)
+            else:
+                cut = np.vstack([item[2], item[3]])
             return item + (cut,)
         return item
 

@@ -129,6 +129,155 @@ def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k):
     return out, idx
 
 
+def _sg_bwd_kernel(k_neighbors, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
+                   w2_ref, b2_ref, idx_ref, out_ref, g_ref,
+                   dq_ref, dcat_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+    """Backward of the fused stage, recomputing per-neighbor activations
+    from the saved indices. Gradient conventions:
+      * max backward: full cotangent to every argmax location (positive
+        ties are measure-zero; relu-clamped zero ties are killed by the
+        relu mask either way);
+      * feats/xyz cotangents scattered via one-hot^T MXU matmuls;
+      * dW/db accumulated across the whole grid (single revisited block).
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    q = q_ref[0]
+    xyz = xyz_ref[0]
+    feats = feats_ref[0]
+    w1, b1 = w1_ref[:, :], b1_ref[:, :]
+    w2, b2 = w2_ref[:, :], b2_ref[:, :]
+    idxmat = idx_ref[0]                    # [s, K]
+    out = out_ref[0]                       # [s, H2]
+    g = g_ref[0]                           # [s, H2]
+    s, n = q.shape[0], xyz.shape[0]
+    c_in = w1.shape[0]
+
+    lane = lax.broadcasted_iota(jnp.int32, (s, n), 1)
+    kcols = lax.broadcasted_iota(jnp.int32, (s, k_neighbors), 1)
+    cat = jnp.concatenate([xyz, feats], axis=1)
+
+    @pl.when(j == 0)
+    def _():
+        dcat_ref[0] = jnp.zeros(dcat_ref.shape[1:], jnp.float32)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        dw1_ref[:, :] = jnp.zeros(dw1_ref.shape, jnp.float32)
+        db1_ref[:, :] = jnp.zeros(db1_ref.shape, jnp.float32)
+        dw2_ref[:, :] = jnp.zeros(dw2_ref.shape, jnp.float32)
+        db2_ref[:, :] = jnp.zeros(db2_ref.shape, jnp.float32)
+
+    def hi_dot(a, b, dims):
+        return lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    def body(k, carry):
+        dq, dcat, dw1, db1, dw2, db2 = carry
+        sel = jnp.sum(jnp.where(kcols == k, idxmat, 0), axis=1,
+                      keepdims=True)                        # [s, 1]
+        onehot = (lane == sel).astype(jnp.float32)          # [s, n]
+        nb = jnp.dot(onehot, cat, preferred_element_type=jnp.float32)
+        rel = nb[:, :3] - q
+        gk = jnp.concatenate([rel, nb[:, 3:]], axis=1)      # [s, c_in]
+        a1 = jnp.dot(gk, w1, preferred_element_type=jnp.float32) + b1
+        h1 = jnp.maximum(a1, 0.0)
+        a2 = jnp.dot(h1, w2, preferred_element_type=jnp.float32) + b2
+        h2 = jnp.maximum(a2, 0.0)
+
+        dh2 = jnp.where(h2 == out, g, 0.0)
+        da2 = jnp.where(a2 > 0, dh2, 0.0)
+        dw2 = dw2 + hi_dot(h1, da2, ((0,), (0,)))           # [H, H2]
+        db2 = db2 + jnp.sum(da2, axis=0, keepdims=True)
+        dh1 = hi_dot(da2, w2, ((1,), (1,)))                 # [s, H]
+        da1 = jnp.where(a1 > 0, dh1, 0.0)
+        dw1 = dw1 + hi_dot(gk, da1, ((0,), (0,)))           # [c_in, H]
+        db1 = db1 + jnp.sum(da1, axis=0, keepdims=True)
+        dgk = hi_dot(da1, w1, ((1,), (1,)))                 # [s, c_in]
+        dq = dq - dgk[:, :3]
+        dcat = dcat + hi_dot(onehot, dgk, ((0,), (0,)))     # [n, c_in]
+        return dq, dcat, dw1, db1, dw2, db2
+
+    init = (jnp.zeros((s, 3), jnp.float32),
+            jnp.zeros((n, c_in), jnp.float32),
+            jnp.zeros(dw1_ref.shape, jnp.float32),
+            jnp.zeros(db1_ref.shape, jnp.float32),
+            jnp.zeros(dw2_ref.shape, jnp.float32),
+            jnp.zeros(db2_ref.shape, jnp.float32))
+    dq, dcat, dw1, db1, dw2, db2 = lax.fori_loop(0, k_neighbors, body, init)
+
+    dq_ref[0] = dq
+    dcat_ref[0] = dcat_ref[0] + dcat
+    dw1_ref[:, :] = dw1_ref[:, :] + dw1
+    db1_ref[:, :] = db1_ref[:, :] + db1
+    dw2_ref[:, :] = dw2_ref[:, :] + dw2
+    db2_ref[:, :] = db2_ref[:, :] + db2
+
+
+def _fused_backward(new_xyz, xyz, feats, w1, b1, w2, b2, idx, out, g):
+    B, S, _ = new_xyz.shape
+    N, C = feats.shape[1], feats.shape[2]
+    c_in, H = w1.shape
+    H2 = w2.shape[1]
+    k = idx.shape[-1]
+    s_blk = min(_S_BLK, S)
+    grid = (B, S // s_blk)
+
+    dq, dcat, dw1, db1, dw2, db2 = pl.pallas_call(
+        functools.partial(_sg_bwd_kernel, k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, s_blk, 3), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 3), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, C), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_in, H), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H2), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H2), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_blk, k), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_blk, H2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_blk, H2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, s_blk, 3), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 3 + C), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_in, H), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H2), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H2), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S, 3), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, 3 + C), jnp.float32),
+            jax.ShapeDtypeStruct((c_in, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, H2), jnp.float32),
+            jax.ShapeDtypeStruct((1, H2), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(new_xyz, xyz, feats, w1, b1.reshape(1, H), w2, b2.reshape(1, H2),
+      idx, out, g)
+    return (dq, dcat[:, :, :3], dcat[:, :, 3:], dw1,
+            db1.reshape(b1.shape), dw2, db2.reshape(b2.shape))
+
+
 def _mlp_max_from_idx(new_xyz, xyz, feats, w1, b1, w2, b2, idx):
     """Reference-shaped math given neighbor indices (used by the VJP and as
     the off-TPU fallback): gather -> concat rel-xyz -> Dense/relu x2 -> max."""
@@ -159,13 +308,17 @@ def _fsa_fwd(new_xyz, xyz, feats, w1, b1, w2, b2, k):
     else:
         idx = knn_indices(new_xyz, xyz, k)
         out = _mlp_max_from_idx(new_xyz, xyz, feats, w1, b1, w2, b2, idx)
-    return out, (new_xyz, xyz, feats, w1, b1, w2, b2, idx)
+    return out, (new_xyz, xyz, feats, w1, b1, w2, b2, idx, out)
 
 
 def _fsa_bwd(k, res, g):
-    new_xyz, xyz, feats, w1, b1, w2, b2, idx = res
+    new_xyz, xyz, feats, w1, b1, w2, b2, idx, out = res
     # differentiate the gather->MLP->max graph at the SAVED indices (the
     # kNN selection itself has zero gradient a.e.)
+    if pallas_supported():
+        return _fused_backward(new_xyz, xyz, feats, w1, b1, w2, b2, idx,
+                               out, g)
+
     def f(new_xyz, xyz, feats, w1, b1, w2, b2):
         return _mlp_max_from_idx(new_xyz, xyz, feats, w1, b1, w2, b2, idx)
 

@@ -266,3 +266,30 @@ class TestLegacyRegistry:
     def test_unknown(self):
         with pytest.raises(ValueError):
             D.get_cad_datasets("nope")
+
+
+class TestCutSurface:
+    def test_return_cut_samples_on_surface(self):
+        from puzzlenet_tpu.data.slicers import sample_cut_surface
+
+        clouds = D.synthetic_clouds("vase", count=2, n_points=4000, seed=5)
+        ds = D.SlicedCloudDataset(clouds, mode="train", split_rate=1.0,
+                                  return_cut=True)
+        item = ds[0]
+        assert len(item) == 7
+        cut = item[6]
+        assert cut.shape == (512, 3)
+
+    def test_cut_surface_geometry(self):
+        from puzzlenet_tpu.data.slicers import sample_cut_surface
+
+        rng = np.random.default_rng(0)
+        pts = sample_cut_surface({"type": "sphere",
+                                  "center": np.array([0.1, 0.0, 0.0]),
+                                  "radius": 0.5}, n=100, rng=rng)
+        r = np.linalg.norm(pts - [0.1, 0, 0], axis=1)
+        np.testing.assert_allclose(r, 0.5, atol=1e-5)
+        n = np.array([1.0, 2.0, 3.0])
+        pts = sample_cut_surface({"type": "plane", "normal": n, "z": 0.2},
+                                 n=100, rng=rng)
+        np.testing.assert_allclose(pts @ n + 0.2, 0.0, atol=1e-4)

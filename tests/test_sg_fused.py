@@ -1,0 +1,62 @@
+"""Fused set-abstraction: CPU fallback correctness (value + gradient vs a
+directly-differentiated unfused implementation)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from puzzlenet_tpu.ops import knn_indices
+from puzzlenet_tpu.ops.sg_pallas import (_mlp_max_from_idx,
+                                         fused_set_abstraction)
+
+B, S, N, C, K = 2, 32, 128, 16, 8
+
+
+def _inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    xyz = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+    q = xyz[:, :S]
+    feats = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(C + 3, 24)).astype(np.float32) * 0.3)
+    b1 = jnp.asarray(rng.normal(size=(24,)).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.normal(size=(24, 16)).astype(np.float32) * 0.3)
+    b2 = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.1)
+    return q, xyz, feats, w1, b1, w2, b2
+
+
+def _direct(q, xyz, feats, w1, b1, w2, b2):
+    idx = knn_indices(q, xyz, K)
+    return _mlp_max_from_idx(q, xyz, feats, w1, b1, w2, b2, idx)
+
+
+class TestFusedSetAbstraction:
+    def test_value_matches_direct(self):
+        args = _inputs()
+        a = fused_set_abstraction(*args, K)
+        b = _direct(*args)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_gradients_match_direct(self):
+        args = _inputs(1)
+
+        def loss_fused(w1, feats):
+            q, xyz, _, _, b1, w2, b2 = args
+            return jnp.sum(
+                fused_set_abstraction(q, xyz, feats, w1, b1, w2, b2, K) ** 2)
+
+        def loss_direct(w1, feats):
+            q, xyz, _, _, b1, w2, b2 = args
+            return jnp.sum(_direct(q, xyz, feats, w1, b1, w2, b2) ** 2)
+
+        g1a, g2a = jax.grad(loss_fused, argnums=(0, 1))(args[3], args[2])
+        g1b, g2b = jax.grad(loss_direct, argnums=(0, 1))(args[3], args[2])
+        np.testing.assert_allclose(np.asarray(g1a), np.asarray(g1b),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g2a), np.asarray(g2b),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_jittable(self):
+        args = _inputs(2)
+        out = jax.jit(lambda *a: fused_set_abstraction(*a, K))(*args)
+        assert out.shape == (B, S, 16)
+        assert np.all(np.isfinite(np.asarray(out)))
