@@ -38,12 +38,20 @@ from .pointops import index_points, knn_indices
 _S_BLK = 256
 
 
+def _xdot(a, b):
+    """Exact f32 dot (HIGHEST): forward activations and their backward
+    recompute must round identically, otherwise relu masks flip at
+    near-zero pre-activations and the custom VJP acquires O(1) noise."""
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
 def pallas_supported():
     return jax.default_backend() == "tpu"
 
 
 def _sg_kernel(k_neighbors, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
-               w2_ref, b2_ref, out_ref, idx_ref):
+               w2_ref, b2_ref, out_ref, idx_ref, amax_ref):
     q = q_ref[0]                      # [s, 3]
     xyz = xyz_ref[0]                  # [N, 3]
     feats = feats_ref[0]              # [N, C]
@@ -62,26 +70,34 @@ def _sg_kernel(k_neighbors, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
     kcols = lax.broadcasted_iota(jnp.int32, (s, k_neighbors), 1)
 
     def body(k, carry):
-        d, acc, idx_acc = carry
+        d, acc, idx_acc, amax = carry
         sel = jnp.argmin(d, axis=1).astype(jnp.int32)[:, None]   # [s, 1]
         idx_acc = jnp.where(kcols == k, sel, idx_acc)
         onehot = (lane == sel).astype(jnp.float32)               # [s, n]
-        nb = jnp.dot(onehot, cat, preferred_element_type=jnp.float32)
+        # explicit-bf16 one-hot gather: exactly one nonzero per row and
+        # single-pass bf16 products make the result deterministic across
+        # kernels (the default f32 dot's 3-pass bf16 decomposition is
+        # tiling-dependent, which would flip relu masks in the backward)
+        nb = jnp.dot(onehot.astype(jnp.bfloat16), cat.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
         rel = nb[:, :3] - q
         g = jnp.concatenate([rel, nb[:, 3:]], axis=1)            # [s, 3+C]
-        h = jnp.maximum(
-            jnp.dot(g, w1, preferred_element_type=jnp.float32) + b1, 0.0)
-        h = jnp.maximum(
-            jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2, 0.0)
+        h = jnp.maximum(_xdot(g, w1) + b1, 0.0)
+        h = jnp.maximum(_xdot(h, w2) + b2, 0.0)
+        # argmax-k per channel: the backward masks by index, immune to
+        # recompute rounding (first max wins, like lax reduce argmax)
+        amax = jnp.where(h > acc, k, amax)
         acc = jnp.maximum(acc, h)
         d = jnp.where(onehot > 0, jnp.inf, d)
-        return d, acc, idx_acc
+        return d, acc, idx_acc, amax
 
     init = (d0, jnp.full((s, h2), -jnp.inf, jnp.float32),
-            jnp.zeros((s, k_neighbors), jnp.int32))
-    _, acc, idx_acc = lax.fori_loop(0, k_neighbors, body, init)
+            jnp.zeros((s, k_neighbors), jnp.int32),
+            jnp.zeros((s, h2), jnp.int32))
+    _, acc, idx_acc, amax = lax.fori_loop(0, k_neighbors, body, init)
     out_ref[0] = acc
     idx_ref[0] = idx_acc
+    amax_ref[0] = amax
 
 
 def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k):
@@ -94,7 +110,7 @@ def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k):
     b2r = b2.reshape(1, H2)
 
     grid = (B, S // s_blk)
-    out, idx = pl.pallas_call(
+    out, idx, amax = pl.pallas_call(
         functools.partial(_sg_kernel, k),
         grid=grid,
         in_specs=[
@@ -118,25 +134,28 @@ def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s_blk, k), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_blk, H2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, S, H2), jnp.float32),
             jax.ShapeDtypeStruct((B, S, k), jnp.int32),
+            jax.ShapeDtypeStruct((B, S, H2), jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
     )(new_xyz, xyz, feats, w1, b1r, w2, b2r)
-    return out, idx
+    return out, idx, amax
 
 
 def _sg_bwd_kernel(k_neighbors, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
-                   w2_ref, b2_ref, idx_ref, out_ref, g_ref,
+                   w2_ref, b2_ref, idx_ref, amax_ref, g_ref,
                    dq_ref, dcat_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
     """Backward of the fused stage, recomputing per-neighbor activations
     from the saved indices. Gradient conventions:
-      * max backward: full cotangent to every argmax location (positive
-        ties are measure-zero; relu-clamped zero ties are killed by the
-        relu mask either way);
+      * max backward: cotangent routed by the argmax-k index saved by the
+        forward kernel (value-equality masks would drop gradient wherever
+        bf16 recompute rounds differently);
       * feats/xyz cotangents scattered via one-hot^T MXU matmuls;
       * dW/db accumulated across the whole grid (single revisited block).
     """
@@ -148,7 +167,7 @@ def _sg_bwd_kernel(k_neighbors, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
     w1, b1 = w1_ref[:, :], b1_ref[:, :]
     w2, b2 = w2_ref[:, :], b2_ref[:, :]
     idxmat = idx_ref[0]                    # [s, K]
-    out = out_ref[0]                       # [s, H2]
+    amax = amax_ref[0]                     # [s, H2] argmax neighbor index
     g = g_ref[0]                           # [s, H2]
     s, n = q.shape[0], xyz.shape[0]
     c_in = w1.shape[0]
@@ -177,15 +196,15 @@ def _sg_bwd_kernel(k_neighbors, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
         sel = jnp.sum(jnp.where(kcols == k, idxmat, 0), axis=1,
                       keepdims=True)                        # [s, 1]
         onehot = (lane == sel).astype(jnp.float32)          # [s, n]
-        nb = jnp.dot(onehot, cat, preferred_element_type=jnp.float32)
+        nb = jnp.dot(onehot.astype(jnp.bfloat16), cat.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)    # exact, see fwd
         rel = nb[:, :3] - q
         gk = jnp.concatenate([rel, nb[:, 3:]], axis=1)      # [s, c_in]
-        a1 = jnp.dot(gk, w1, preferred_element_type=jnp.float32) + b1
+        a1 = _xdot(gk, w1) + b1
         h1 = jnp.maximum(a1, 0.0)
-        a2 = jnp.dot(h1, w2, preferred_element_type=jnp.float32) + b2
-        h2 = jnp.maximum(a2, 0.0)
+        a2 = _xdot(h1, w2) + b2
 
-        dh2 = jnp.where(h2 == out, g, 0.0)
+        dh2 = jnp.where(amax == k, g, 0.0)  # h2 = relu(a2) not needed
         da2 = jnp.where(a2 > 0, dh2, 0.0)
         dw2 = dw2 + hi_dot(h1, da2, ((0,), (0,)))           # [H, H2]
         db2 = db2 + jnp.sum(da2, axis=0, keepdims=True)
@@ -214,7 +233,7 @@ def _sg_bwd_kernel(k_neighbors, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
     db2_ref[:, :] = db2_ref[:, :] + db2
 
 
-def _fused_backward(new_xyz, xyz, feats, w1, b1, w2, b2, idx, out, g):
+def _fused_backward(new_xyz, xyz, feats, w1, b1, w2, b2, idx, amax, g):
     B, S, _ = new_xyz.shape
     N, C = feats.shape[1], feats.shape[2]
     c_in, H = w1.shape
@@ -273,7 +292,7 @@ def _fused_backward(new_xyz, xyz, feats, w1, b1, w2, b2, idx, out, g):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
     )(new_xyz, xyz, feats, w1, b1.reshape(1, H), w2, b2.reshape(1, H2),
-      idx, out, g)
+      idx, amax, g)
     return (dq, dcat[:, :, :3], dcat[:, :, 3:], dw1,
             db1.reshape(b1.shape), dw2, db2.reshape(b2.shape))
 
@@ -296,7 +315,7 @@ def fused_set_abstraction(new_xyz, xyz, feats, w1, b1, w2, b2, k):
     TPU: single fused Pallas kernel. Elsewhere: kNN + gather + MLP + max.
     """
     if pallas_supported():
-        out, _ = _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k)
+        out, _, _ = _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k)
         return out
     idx = knn_indices(new_xyz, xyz, k)
     return _mlp_max_from_idx(new_xyz, xyz, feats, w1, b1, w2, b2, idx)
@@ -304,20 +323,22 @@ def fused_set_abstraction(new_xyz, xyz, feats, w1, b1, w2, b2, k):
 
 def _fsa_fwd(new_xyz, xyz, feats, w1, b1, w2, b2, k):
     if pallas_supported():
-        out, idx = _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k)
+        out, idx, amax = _fused_forward(new_xyz, xyz, feats, w1, b1, w2,
+                                        b2, k)
     else:
         idx = knn_indices(new_xyz, xyz, k)
         out = _mlp_max_from_idx(new_xyz, xyz, feats, w1, b1, w2, b2, idx)
-    return out, (new_xyz, xyz, feats, w1, b1, w2, b2, idx, out)
+        amax = None
+    return out, (new_xyz, xyz, feats, w1, b1, w2, b2, idx, amax)
 
 
 def _fsa_bwd(k, res, g):
-    new_xyz, xyz, feats, w1, b1, w2, b2, idx, out = res
+    new_xyz, xyz, feats, w1, b1, w2, b2, idx, amax = res
     # differentiate the gather->MLP->max graph at the SAVED indices (the
     # kNN selection itself has zero gradient a.e.)
     if pallas_supported():
         return _fused_backward(new_xyz, xyz, feats, w1, b1, w2, b2, idx,
-                               out, g)
+                               amax, g)
 
     def f(new_xyz, xyz, feats, w1, b1, w2, b2):
         return _mlp_max_from_idx(new_xyz, xyz, feats, w1, b1, w2, b2, idx)

@@ -274,6 +274,59 @@ class Trainer:
             self.logger.flush()
         return state
 
+    def fit_device_data(self, clouds, steps, val_ds=None, log_every=20):
+        """TPU-resident training: batches generated on-device per step
+        (data/device_pipeline.py) from a preloaded cloud stack — no host
+        data path at all. ``clouds``: [n_clouds, M, 3] array.
+
+        The reference's equivalent is 64 DataLoader worker processes
+        feeding the GPU (train.py:100-109); here the whole pipeline (cut,
+        masked FPS, boundary, twist) is ~15 ms of device time per batch.
+        """
+        import jax.numpy as jnp_  # noqa: F401
+        from ..data.device_pipeline import make_batch
+
+        cfg = self.cfg
+        os.makedirs(cfg.output_path, exist_ok=True)
+        cfg.save(cfg.output_path)
+        clouds = jnp.asarray(clouds)
+        n_clouds = clouds.shape[0]
+        key = jax.random.PRNGKey(cfg.seed)
+
+        @functools.partial(jax.jit, static_argnames=())
+        def batch_fn(k):
+            k_sel, k_batch = jax.random.split(k)
+            sel = jax.random.choice(k_sel, n_clouds, (cfg.batch_size,),
+                                    replace=n_clouds < cfg.batch_size)
+            return make_batch(k_batch, clouds[sel], npoint=cfg.num_points)
+
+        state = None
+        losses = []
+        for step in range(steps):
+            batch = shard_batch(self.mesh, batch_fn(jax.random.fold_in(
+                key, step)))
+            if state is None:
+                state = self.init_state(batch)
+                if cfg.resume:
+                    state = self.restore_checkpoint(state, cfg.resume)
+            pretrain = False if cfg.pretrain_epochs == 0 else (
+                step < cfg.pretrain_epochs)
+            state, metrics = train_step(self.model, self.tx, self.flags,
+                                        pretrain, state, batch)
+            losses.append(metrics["train_loss"])
+            if (step + 1) % log_every == 0:
+                window = float(jnp.mean(jnp.stack(losses[-log_every:])))
+                self.logger.scalar("train_loss", window, step)
+                print(f"step {step + 1}/{steps} loss {window:.4f}",
+                      flush=True)
+        final_loss = float(jnp.mean(jnp.stack(losses[-log_every:])))
+        self.save_checkpoint(state, steps, final_loss)
+        self.ckpt_manager.wait_until_finished()
+        if final_loss < cfg.early_stop_threshold:
+            with open(os.path.join(cfg.output_path, "stop.txt"), "w") as f:
+                f.write(f"stop\n{steps}\n{final_loss}")
+        return state
+
     def validate(self, state, val_loader, pretrain, global_step):
         agg = None
         n = 0
