@@ -17,6 +17,7 @@ Capability parity with the reference encoder stack:
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops import farthest_point_sample, index_points
@@ -93,6 +94,7 @@ class PCTEncoder(nn.Module):
         d2 = self.gs2_feature_size * 2
 
         # per-point embedding with point-slot BN (reference quirk, see module)
+        # (named_scope blocks label jax.profiler traces, --profile_dir)
         x = nn.relu(PointSlotBatchNorm(name="bn1")(
             nn.Dense(64, name="mlp1")(xyz), use_running_average=not train))
         x_feature = nn.relu(PointSlotBatchNorm(name="bn2")(
@@ -113,19 +115,24 @@ class PCTEncoder(nn.Module):
         # stage 1: FPS 512 + kNN 32, shared MLP(67->128->128), max
         w3, b3, w4, b4 = sg_params("mlp34", self.feature_size + 3, 128,
                                    self.gs2_feature_size)
-        x1 = index_points(xyz, farthest_point_sample(xyz, self.sg1_points))
-        f1f = fused_set_abstraction(x1, xyz, x_feature, w3, b3, w4, b4,
-                                    self.knn)             # [B, 512, 128]
+        with jax.named_scope("sg_stage1"):
+            x1 = index_points(xyz,
+                              farthest_point_sample(xyz, self.sg1_points))
+            f1f = fused_set_abstraction(x1, xyz, x_feature, w3, b3, w4, b4,
+                                        self.knn)         # [B, 512, 128]
 
         # stage 2: FPS 256 + kNN 32, shared MLP(131->256->256), max
         w5, b5, w6, b6 = sg_params("mlp56", self.gs2_feature_size + 3, d2,
                                    d2)
-        x2 = index_points(x1, farthest_point_sample(x1, self.sg2_points))
-        f2f = fused_set_abstraction(x2, x1, f1f, w5, b5, w6, b6,
-                                    self.knn)             # [B, 256, 256]
+        with jax.named_scope("sg_stage2"):
+            x2 = index_points(x1,
+                              farthest_point_sample(x1, self.sg2_points))
+            f2f = fused_set_abstraction(x2, x1, f1f, w5, b5, w6, b6,
+                                        self.knn)         # [B, 256, 256]
 
         # 4 stacked offset-attention blocks; attentions averaged
-        att1, attention1 = OffsetAttention(d2, name="atten1")(f2f)
+        with jax.named_scope("offset_attention"):
+            att1, attention1 = OffsetAttention(d2, name="atten1")(f2f)
         att2, attention2 = OffsetAttention(d2, name="atten2")(att1)
         att3, attention3 = OffsetAttention(d2, name="atten3")(att2)
         att4, attention4 = OffsetAttention(d2, name="atten4")(att3)

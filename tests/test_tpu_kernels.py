@@ -1,0 +1,103 @@
+"""TPU-only Pallas kernel tests (skipped on CPU backends).
+
+The CPU suite validates the lax/unfused reference paths; these tests check
+the Pallas kernels against them on real hardware. Run manually with:
+    JAX_PLATFORMS='' python -m pytest tests/test_tpu_kernels.py -q --no-header
+(the shared conftest pins CPU, so these tests re-check the backend and
+skip unless a TPU is actually active).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(jax.default_backend() != "tpu",
+                                reason="needs a TPU backend")
+
+
+@pytest.fixture(scope="module")
+def clouds():
+    rng = np.random.default_rng(0)
+    x1 = rng.normal(size=(4, 256, 3)).astype(np.float32)
+    x2 = (x1 + 0.1 * rng.normal(size=x1.shape)).astype(np.float32)
+    return jnp.asarray(x1), jnp.asarray(x2)
+
+
+class TestPallasFPS:
+    def test_matches_lax(self, clouds):
+        from puzzlenet_tpu.ops import farthest_point_sample
+        from puzzlenet_tpu.ops.fps_pallas import fps_pallas
+
+        xyz, _ = clouds
+        start = jnp.zeros((4,), jnp.int32)
+        a = np.asarray(fps_pallas(xyz, 64, start))
+        b = np.asarray(farthest_point_sample(xyz, 64, use_pallas=False))
+        np.testing.assert_array_equal(a, b)
+
+
+class TestPallasEMD:
+    def test_cost_matches_lax(self, clouds):
+        from puzzlenet_tpu.ops.emd import _emd_cost
+        from puzzlenet_tpu.ops.emd_pallas import emd_cost_pallas
+
+        x1, x2 = clouds
+        a = np.asarray(emd_cost_pallas(x1, x2))
+        b = np.asarray(_emd_cost(x1, x2))
+        np.testing.assert_allclose(a, b, rtol=2e-3)
+
+    def test_grad_matches_lax(self, clouds):
+        from puzzlenet_tpu.ops.emd import _emd_cost
+        from puzzlenet_tpu.ops.emd_pallas import emd_cost_pallas
+
+        x1, x2 = clouds
+        ga = jax.grad(lambda a: jnp.sum(emd_cost_pallas(a, x2)))(x1)
+        gb = jax.grad(lambda a: jnp.sum(_emd_cost(a, x2)))(x1)
+        scale = float(jnp.max(jnp.abs(gb)))
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   atol=0.02 * scale)
+
+
+class TestPallasSG:
+    def test_forward_close_to_unfused(self, clouds):
+        from puzzlenet_tpu.ops import knn_indices
+        from puzzlenet_tpu.ops.sg_pallas import (_mlp_max_from_idx,
+                                                 fused_set_abstraction)
+
+        xyz, _ = clouds
+        q = xyz[:, :128]
+        rng = np.random.default_rng(1)
+        feats = jnp.asarray(rng.normal(size=(4, 256, 16)).astype(np.float32))
+        w1 = jnp.asarray(rng.normal(size=(19, 32)).astype(np.float32) * 0.2)
+        b1 = jnp.zeros(32)
+        w2 = jnp.asarray(rng.normal(size=(32, 32)).astype(np.float32) * 0.2)
+        b2 = jnp.zeros(32)
+        a = fused_set_abstraction(q, xyz, feats, w1, b1, w2, b2, 8)
+        idx = knn_indices(q, xyz, 8)
+        b = _mlp_max_from_idx(q, xyz, feats, w1, b1, w2, b2, idx)
+        # bf16 gather rounding bounds the difference
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0.05)
+
+    def test_fd_gradient(self, clouds):
+        from puzzlenet_tpu.ops.sg_pallas import fused_set_abstraction
+
+        xyz, _ = clouds
+        q = xyz[:, :128]
+        rng = np.random.default_rng(2)
+        feats = jnp.asarray(rng.normal(size=(4, 256, 16)).astype(np.float32))
+        w1 = jnp.asarray(rng.normal(size=(19, 32)).astype(np.float32) * 0.2)
+        b1 = jnp.zeros(32)
+        w2 = jnp.asarray(rng.normal(size=(32, 32)).astype(np.float32) * 0.2)
+        b2 = jnp.zeros(32)
+
+        def loss(w1):
+            return jnp.sum(
+                fused_set_abstraction(q, xyz, feats, w1, b1, w2, b2, 8) ** 2)
+
+        g = jax.grad(loss)(w1)
+        v = jnp.asarray(rng.normal(size=w1.shape).astype(np.float32))
+        eps = 1e-2
+        fd = (float(loss(w1 + eps * v)) - float(loss(w1 - eps * v))) / (
+            2 * eps)
+        an = float(jnp.sum(g * v))
+        assert abs(fd - an) / max(abs(fd), 1e-6) < 0.1, (fd, an)
