@@ -68,7 +68,9 @@ def fps_pallas(xyz, npoint, start):
     coords = jnp.transpose(xyz, (2, 0, 1))          # [3, B, N]
     start2 = start.astype(jnp.int32)[:, None]       # [B, 1]
 
-    b_blk = min(_B_BLK, B)
+    # batch rows live on sublanes: the block must be a multiple of the f32
+    # sublane tile (8) or Mosaic hits "Not implemented: Sublane broadcast"
+    b_blk = min(_B_BLK, ((B + 7) // 8) * 8)
     pad_b = (-B) % b_blk
     if pad_b:
         coords = jnp.pad(coords, ((0, 0), (0, pad_b), (0, 0)))
