@@ -274,7 +274,8 @@ class Trainer:
             self.logger.flush()
         return state
 
-    def fit_device_data(self, clouds, steps, val_ds=None, log_every=20):
+    def fit_device_data(self, clouds, steps, val_ds=None, log_every=20,
+                        scan_chunk=1):
         """TPU-resident training: batches generated on-device per step
         (data/device_pipeline.py) from a preloaded cloud stack — no host
         data path at all. ``clouds``: [n_clouds, M, 3] array.
@@ -282,8 +283,11 @@ class Trainer:
         The reference's equivalent is 64 DataLoader worker processes
         feeding the GPU (train.py:100-109); here the whole pipeline (cut,
         masked FPS, boundary, twist) is ~15 ms of device time per batch.
+        ``scan_chunk`` > 1 runs that many steps inside one lax.scan
+        (single dispatch per chunk) — measured SLOWER on the remote-TPU
+        tunnel (the big fused program compiles long and pipelines worse
+        than async per-step dispatch), so the default stays 1.
         """
-        import jax.numpy as jnp_  # noqa: F401
         from ..data.device_pipeline import make_batch
 
         cfg = self.cfg
@@ -292,34 +296,45 @@ class Trainer:
         clouds = jnp.asarray(clouds)
         n_clouds = clouds.shape[0]
         key = jax.random.PRNGKey(cfg.seed)
+        pretrain = cfg.pretrain_epochs > 0  # device path: one static phase
 
-        @functools.partial(jax.jit, static_argnames=())
-        def batch_fn(k):
+        def one_step(state, k):
             k_sel, k_batch = jax.random.split(k)
             sel = jax.random.choice(k_sel, n_clouds, (cfg.batch_size,),
                                     replace=n_clouds < cfg.batch_size)
-            return make_batch(k_batch, clouds[sel], npoint=cfg.num_points)
+            batch = make_batch(k_batch, clouds[sel], npoint=cfg.num_points)
+            return train_step(self.model, self.tx, self.flags, pretrain,
+                              state, batch)
 
-        state = None
+        @jax.jit
+        def chunk_fn(state, keys):
+            def body(state, k):
+                state, metrics = one_step(state, k)
+                return state, metrics["train_loss"]
+            return jax.lax.scan(body, state, keys)
+
+        # init from one eagerly-built batch
+        first = shard_batch(self.mesh, jax.jit(
+            lambda k: make_batch(k, clouds[:cfg.batch_size],
+                                 npoint=cfg.num_points))(key))
+        state = self.init_state(first)
+        if cfg.resume:
+            state = self.restore_checkpoint(state, cfg.resume)
+
         losses = []
-        for step in range(steps):
-            batch = shard_batch(self.mesh, batch_fn(jax.random.fold_in(
-                key, step)))
-            if state is None:
-                state = self.init_state(batch)
-                if cfg.resume:
-                    state = self.restore_checkpoint(state, cfg.resume)
-            pretrain = False if cfg.pretrain_epochs == 0 else (
-                step < cfg.pretrain_epochs)
-            state, metrics = train_step(self.model, self.tx, self.flags,
-                                        pretrain, state, batch)
-            losses.append(metrics["train_loss"])
-            if (step + 1) % log_every == 0:
-                window = float(jnp.mean(jnp.stack(losses[-log_every:])))
-                self.logger.scalar("train_loss", window, step)
-                print(f"step {step + 1}/{steps} loss {window:.4f}",
-                      flush=True)
-        final_loss = float(jnp.mean(jnp.stack(losses[-log_every:])))
+        done = 0
+        while done < steps:
+            n = min(scan_chunk, steps - done)
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+                jnp.arange(done, done + n))
+            state, chunk_losses = chunk_fn(state, keys)
+            losses.append(chunk_losses)
+            done += n
+            if done % log_every < n:
+                window = float(jnp.mean(losses[-1]))
+                self.logger.scalar("train_loss", window, done)
+                print(f"step {done}/{steps} loss {window:.4f}", flush=True)
+        final_loss = float(jnp.mean(losses[-1]))
         self.save_checkpoint(state, steps, final_loss)
         self.ckpt_manager.wait_until_finished()
         if final_loss < cfg.early_stop_threshold:
