@@ -50,8 +50,8 @@ def pallas_supported():
     return jax.default_backend() == "tpu"
 
 
-def _sg_kernel(k_neighbors, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
-               w2_ref, b2_ref, out_ref, idx_ref, amax_ref):
+def _sg_kernel(k_neighbors, precise, q_ref, xyz_ref, feats_ref, w1_ref,
+               b1_ref, w2_ref, b2_ref, out_ref, idx_ref, amax_ref):
     q = q_ref[0]                      # [s, 3]
     xyz = xyz_ref[0]                  # [N, 3]
     feats = feats_ref[0]              # [N, C]
@@ -82,8 +82,10 @@ def _sg_kernel(k_neighbors, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
                      preferred_element_type=jnp.float32)
         rel = nb[:, :3] - q
         g = jnp.concatenate([rel, nb[:, 3:]], axis=1)            # [s, 3+C]
-        h = jnp.maximum(_xdot(g, w1) + b1, 0.0)
-        h = jnp.maximum(_xdot(h, w2) + b2, 0.0)
+        mm = _xdot if precise else (
+            lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32))
+        h = jnp.maximum(mm(g, w1) + b1, 0.0)
+        h = jnp.maximum(mm(h, w2) + b2, 0.0)
         # argmax-k per channel: the backward masks by index, immune to
         # recompute rounding (first max wins, like lax reduce argmax)
         amax = jnp.where(h > acc, k, amax)
@@ -100,7 +102,11 @@ def _sg_kernel(k_neighbors, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
     amax_ref[0] = amax
 
 
-def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k):
+def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k, precise=True):
+    """``precise=True`` runs the MLP dots at HIGHEST precision so the
+    backward kernel's recomputed relu masks match bit-for-bit (required
+    under grad). ``precise=False`` is the inference fast path (~30% faster;
+    default-precision dots like every XLA Dense)."""
     B, S, _ = new_xyz.shape
     N, C = feats.shape[1], feats.shape[2]
     H, H2 = w1.shape[1], w2.shape[1]
@@ -111,7 +117,7 @@ def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k):
 
     grid = (B, S // s_blk)
     out, idx, amax = pl.pallas_call(
-        functools.partial(_sg_kernel, k),
+        functools.partial(_sg_kernel, k, precise),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, s_blk, 3), lambda i, j: (i, j, 0),
@@ -315,7 +321,8 @@ def fused_set_abstraction(new_xyz, xyz, feats, w1, b1, w2, b2, k):
     TPU: single fused Pallas kernel. Elsewhere: kNN + gather + MLP + max.
     """
     if pallas_supported():
-        out, _, _ = _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k)
+        out, _, _ = _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k,
+                                   precise=False)  # inference fast path
         return out
     idx = knn_indices(new_xyz, xyz, k)
     return _mlp_max_from_idx(new_xyz, xyz, feats, w1, b1, w2, b2, idx)
@@ -324,7 +331,7 @@ def fused_set_abstraction(new_xyz, xyz, feats, w1, b1, w2, b2, k):
 def _fsa_fwd(new_xyz, xyz, feats, w1, b1, w2, b2, k):
     if pallas_supported():
         out, idx, amax = _fused_forward(new_xyz, xyz, feats, w1, b1, w2,
-                                        b2, k)
+                                        b2, k, precise=True)
     else:
         idx = knn_indices(new_xyz, xyz, k)
         out = _mlp_max_from_idx(new_xyz, xyz, feats, w1, b1, w2, b2, idx)
