@@ -23,7 +23,7 @@ import os
 
 import numpy as np
 
-from .augment import fps_np, random_se3_np, transform_np
+from .augment import fps_np, random_se3_np
 from .boundary import get_boundary_np
 from .slicers import plane_split, sample_cut_surface
 

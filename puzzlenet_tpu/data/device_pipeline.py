@@ -28,7 +28,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..ops import farthest_point_sample, index_points
+from ..ops import farthest_point_sample
 from ..semath import se3
 from .boundary import get_boundary
 from ..train.losses import Batch

@@ -8,7 +8,7 @@ tensors (identical math, no permute dances — XLA fuses the pointwise MLP
 into the preceding gather).
 """
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

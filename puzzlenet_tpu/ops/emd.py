@@ -23,8 +23,6 @@ version that keeps D and the running match in VMEM across all 10 rounds
 lives in ``emd_pallas.py`` (TPU fast path).
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -16,7 +16,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 _B_BLK = 64  # batch rows per grid step (8 sublane tiles of f32)
 

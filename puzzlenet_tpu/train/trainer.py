@@ -22,7 +22,7 @@ inserted by XLA), large kernels optionally column-sharded on model.
 
 import functools
 import os
-from typing import Any, Optional
+from typing import Any
 
 import flax
 import jax
