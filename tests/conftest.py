@@ -12,10 +12,16 @@ import (as long as no backend has been initialized), so use that.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses tests spawn
+if os.environ.get("PUZZLENET_TEST_TPU") == "1":
+    # opt-in hardware mode: leave the platform alone so
+    # tests/test_tpu_kernels.py can exercise the Pallas kernels
+    import jax
+else:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses tests spawn
 
-import jax  # noqa: E402
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+
 jax.config.update("jax_enable_x64", False)

@@ -2,7 +2,7 @@
 
 The CPU suite validates the lax/unfused reference paths; these tests check
 the Pallas kernels against them on real hardware. Run manually with:
-    JAX_PLATFORMS='' python -m pytest tests/test_tpu_kernels.py -q --no-header
+    PUZZLENET_TEST_TPU=1 python -m pytest tests/test_tpu_kernels.py -q
 (the shared conftest pins CPU, so these tests re-check the backend and
 skip unless a TPU is actually active).
 """
