@@ -70,8 +70,12 @@ def _loss_fn(model, params, batch_stats, batch, flags, pretrain):
 
 
 @functools.partial(jax.jit, static_argnames=("model", "tx", "flags",
-                                             "pretrain"))
+                                             "pretrain"),
+                   donate_argnames=("state",))
 def train_step(model, tx, flags, pretrain, state, batch):
+    """One optimizer step. ``state`` is donated: params/opt buffers update
+    in place on device (halves optimizer HBM traffic); callers must not
+    reuse the old state object after the call."""
     grad_fn = jax.value_and_grad(_loss_fn, argnums=1, has_aux=True)
     (_, (metrics, new_bs)), grads = grad_fn(
         model, state.params, state.batch_stats, batch, flags, pretrain)
