@@ -52,6 +52,7 @@ class Config:
     seed: int = 0
     num_points: int = 1024
     num_workers: int = 8
+    loader_processes: bool = False    # process workers (fork) in Loader
     check_val_every_n_epoch: int = 10
     max_steps: Optional[int] = None          # cap steps (CI/smoke)
     data_dir: Optional[str] = None           # overrides $PUZZLENET_DATA_DIR

@@ -1,21 +1,42 @@
-"""Host-side batched loader with thread prefetch.
+"""Host-side batched loader with thread or process prefetch.
 
-Replaces the reference's 64-process torch DataLoader (train.py:100-109) with
-a thread-pool collator + bounded prefetch queue: item generation is numpy /
-native-C++ (GIL-releasing), so threads suffice and share memory with the
-device-put path.
+Replaces the reference's 64-process torch DataLoader (train.py:100-109).
+Two worker modes:
+
+* threads (default): zero-copy with the device-put path; fine when item
+  generation is native-C++/large-numpy (GIL-releasing), but slicing-heavy
+  datasets are partially GIL-bound (~135 ms/item serial).
+* processes (``use_processes=True``): fork-inherited dataset (copy-on-
+  write, no pickling of the cloud arrays), true parallelism — the analogue
+  of the reference's num_workers=64. Item results cross process boundaries
+  (one pickle per item), so prefer this for generation-heavy datasets.
+
+Note: the fully on-device pipeline (data/device_pipeline.py) sidesteps the
+host entirely and is the fast path for training.
 """
 
+import multiprocessing
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 import numpy as np
+
+_FORK_DATASET = None
+
+
+def _init_fork_worker(dataset):
+    global _FORK_DATASET
+    _FORK_DATASET = dataset
+
+
+def _fork_getitem(index):
+    return _FORK_DATASET[index]
 
 
 class Loader:
     def __init__(self, dataset, batch_size, shuffle=False, drop_last=True,
-                 num_workers=8, seed=0, prefetch=2):
+                 num_workers=8, seed=0, prefetch=2, use_processes=False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -23,6 +44,7 @@ class Loader:
         self.num_workers = max(num_workers, 1)
         self.seed = seed
         self.prefetch = prefetch
+        self.use_processes = use_processes
         self.epoch = 0
 
     def __len__(self):
@@ -51,15 +73,27 @@ class Loader:
         return tuple(np.stack([np.asarray(it[j]) for it in items])
                      for j in range(len(items[0])))
 
+    def _make_pool(self):
+        if self.use_processes:
+            ctx = multiprocessing.get_context("fork")
+            return ProcessPoolExecutor(
+                self.num_workers, mp_context=ctx,
+                initializer=_init_fork_worker, initargs=(self.dataset,))
+        return ThreadPoolExecutor(self.num_workers)
+
     def __iter__(self):
         q = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        getitem = _fork_getitem if self.use_processes \
+            else self.dataset.__getitem__
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
+            with self._make_pool() as pool:
                 for idx_batch in self._index_batches():
-                    items = list(pool.map(self.dataset.__getitem__,
-                                          idx_batch.tolist()))
+                    items = list(pool.map(getitem, idx_batch.tolist(),
+                                          chunksize=4)
+                                 if self.use_processes else
+                                 pool.map(getitem, idx_batch.tolist()))
                     q.put(self._collate(items))
             q.put(sentinel)
 

@@ -214,7 +214,7 @@ class Trainer:
 
         loader = Loader(train_ds, cfg.batch_size, shuffle=True,
                         drop_last=True, num_workers=cfg.num_workers,
-                        seed=cfg.seed)
+                        seed=cfg.seed, use_processes=cfg.loader_processes)
         val_loader = None
         if val_ds is not None and len(val_ds) >= cfg.batch_size:
             val_loader = Loader(val_ds, cfg.batch_size, shuffle=False,

@@ -203,3 +203,19 @@ class TestEndToEnd:
         for a, c in zip(jax.tree_util.tree_leaves(state.params),
                         jax.tree_util.tree_leaves(restored.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+class TestLoader:
+    def test_process_loader_matches_thread_loader(self):
+        from puzzlenet_tpu.data import (MovedDataset, SlicedCloudDataset,
+                                        synthetic_clouds)
+        from puzzlenet_tpu.train.loader import Loader
+
+        clouds = synthetic_clouds("blob", count=6, n_points=3000, seed=0)
+        ds = MovedDataset(SlicedCloudDataset(clouds, mode="train",
+                                             split_rate=1.0))
+        lt = Loader(ds, 2, num_workers=2, use_processes=False)
+        lp = Loader(ds, 2, num_workers=2, use_processes=True)
+        for bt, bp in zip(lt, lp):
+            for a, b in zip(bt, bp):
+                np.testing.assert_array_equal(a, b)
