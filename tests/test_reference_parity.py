@@ -1,0 +1,171 @@
+"""Mechanized reference-parity contract (BASELINE.md: outputs within 1% MSE
+of the reference network given identical weights).
+
+Loads the reference's own network classes at runtime from /root/reference
+via ``core/refbridge.py`` (PCTransformer_nonsort / layerAttention /
+pointnet_util are exec'd reference source, FPS seeded at index 0 to match
+``ops.pointops.farthest_point_sample``'s deterministic default), initializes
+the torch model with torch's default init, converts its state_dict through
+``core/torch_compat.convert_state_dict``, and asserts the JAX PuzzleNet
+(``asymmetric_global_quirk=True``) reproduces twist + boundary logits of
+predict5 (model5_b.py:672-759) within fp32 tolerance.
+
+Skips when the reference tree or torch is unavailable.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from puzzlenet_tpu.core import refbridge  # noqa: E402
+
+if not refbridge.available():
+    pytest.skip("reference tree not available", allow_module_level=True)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from puzzlenet_tpu.core.torch_compat import convert_state_dict  # noqa: E402
+from puzzlenet_tpu.models import PuzzleNet  # noqa: E402
+
+B, N = 2, 1024
+
+
+@pytest.fixture(scope="module")
+def ref_model():
+    torch.manual_seed(0)
+    model = refbridge.build_reference_predict5(num_points=N)
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def clouds():
+    rng = np.random.default_rng(42)
+    fpc = rng.normal(size=(B, N, 3)).astype(np.float32)
+    mrpc = rng.normal(size=(B, N, 3)).astype(np.float32)
+    return fpc, mrpc
+
+
+def _rel_mse(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return float(((a - b) ** 2).mean() / max((b ** 2).mean(), 1e-30))
+
+
+def test_fps_and_knn_parity(ref_model, clouds):
+    """The sampling chain must agree exactly — any index divergence makes
+    output parity meaningless (pointnet_util.py:53-73, 99-136)."""
+    from puzzlenet_tpu.ops import (farthest_point_sample, index_points,
+                                   knn_indices)
+
+    pu = refbridge.load_pointnet_util()
+    fpc = clouds[0]
+    t = torch.from_numpy(fpc)
+    ref_fps = pu.farthest_point_sample(t, 512).numpy()
+    our_fps = np.asarray(farthest_point_sample(jnp.asarray(fpc), 512))
+    np.testing.assert_array_equal(our_fps, ref_fps)
+
+    new_xyz_t = pu.index_points(t, torch.from_numpy(ref_fps))
+    ref_knn = (pu.square_distance(new_xyz_t, t)
+               .argsort()[:, :, :32].numpy())
+    new_xyz = index_points(jnp.asarray(fpc), jnp.asarray(our_fps))
+    our_knn = np.asarray(knn_indices(new_xyz, jnp.asarray(fpc), 32))
+    np.testing.assert_array_equal(our_knn, ref_knn)
+
+
+def test_predict5_forward_parity(ref_model, clouds):
+    """Same weights -> same twist and boundary logits (1%-MSE contract;
+    measured deltas are ~1e-10 relative, i.e. pure f32 rounding)."""
+    fpc, mrpc = clouds
+    with torch.no_grad():
+        t_twist, t_fpcb, t_mrpcb = ref_model(torch.from_numpy(fpc),
+                                             torch.from_numpy(mrpc))
+
+    params, stats = convert_state_dict(ref_model.state_dict())
+    model = PuzzleNet(num_points=N, asymmetric_global_quirk=True)
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(fpc), jnp.asarray(mrpc), train=False)
+
+    for ours, theirs, tag in (
+            (out.twist, t_twist, "twist"),
+            (out.fpcb_logits, t_fpcb, "fpcb_logits"),
+            (out.mrpcb_logits, t_mrpcb, "mrpcb_logits")):
+        theirs = theirs.numpy()
+        rel = _rel_mse(ours, theirs)
+        assert rel < 1e-4, (tag, rel)   # contract: < 1e-2 (1% MSE)
+        np.testing.assert_allclose(np.asarray(ours), theirs,
+                                   rtol=5e-3, atol=5e-4, err_msg=tag)
+
+
+def test_predict5_symmetric_variant_parity(ref_model, clouds):
+    """quirk=False wrapper (symmetric cross-swap) matches our default
+    model — the variant used by tools/ref_eval.py for symmetric
+    checkpoints."""
+    fpc, mrpc = clouds
+    sym = refbridge.build_reference_predict5(num_points=N, quirk=False)
+    sym.load_state_dict(ref_model.state_dict())
+    sym.eval()
+    with torch.no_grad():
+        t_twist, t_fpcb, t_mrpcb = sym(torch.from_numpy(fpc),
+                                       torch.from_numpy(mrpc))
+    params, stats = convert_state_dict(ref_model.state_dict())
+    model = PuzzleNet(num_points=N, asymmetric_global_quirk=False)
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(fpc), jnp.asarray(mrpc), train=False)
+    assert _rel_mse(out.twist, t_twist.numpy()) < 1e-4
+    assert _rel_mse(out.fpcb_logits, t_fpcb.numpy()) < 1e-4
+    assert _rel_mse(out.mrpcb_logits, t_mrpcb.numpy()) < 1e-4
+
+
+def test_metrics_suite_parity(ref_model, clouds):
+    """The reference's test_step metric suite (se3.exp + metrics.py +
+    IoU/boundary-chamfer, model5_b.py:1279-1362, run via tools/ref_eval.py)
+    agrees with train/evaluator.test_step_metrics on identical weights and
+    batches."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.ref_eval import ref_test_step
+
+    from puzzlenet_tpu.data import get_dataset
+    from puzzlenet_tpu.train.evaluator import test_step_metrics
+    from puzzlenet_tpu.train.losses import Batch
+
+    _, _, test_ds = get_dataset("vaser", synth_count=16)
+    params, stats = convert_state_dict(ref_model.state_dict())
+    model = PuzzleNet(num_points=N, asymmetric_global_quirk=True)
+    ref_se3, ref_metrics = refbridge.load_reference_modules()
+
+    for i in range(2):
+        arrays = [np.asarray(x)[None] for x in test_ds[i][:8]]
+        theirs = ref_test_step(ref_model, ref_se3, ref_metrics, arrays)
+        ours = np.asarray(test_step_metrics(
+            model, params, stats,
+            Batch(*[a.astype(np.float32) for a in arrays])))
+        np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=1e-5)
+
+
+def test_encoder_full_contract_parity(ref_model, clouds):
+    """All five encoder outputs match PCTransformer_nonsort
+    (model5_b.py:443-478): f_global, x2, attention, out_local, x_feature."""
+    fpc = clouds[0]
+    with torch.no_grad():
+        ref = ref_model.Encoder(torch.from_numpy(fpc))
+
+    params, stats = convert_state_dict(ref_model.state_dict())
+    model = PuzzleNet(num_points=N, asymmetric_global_quirk=True)
+
+    def enc(variables, x):
+        return model.apply(variables, x, train=False,
+                           method=lambda m, x, train: m.encoder_fpc(
+                               x, train=train))
+
+    ours = enc({"params": params, "batch_stats": stats}, jnp.asarray(fpc))
+    names = ("f_global", "x2", "attention", "out_local", "x_feature")
+    for o, r, tag in zip(ours, ref, names):
+        rel = _rel_mse(o, r.numpy())
+        assert rel < 1e-4, (tag, rel)
