@@ -39,7 +39,8 @@ def main(argv=None):
 
     _, _, test_ds = get_dataset(cfg.dataset, random=cfg.random,
                                 random_slice=cfg.random_slice,
-                                synth_count=cfg.synth_count)
+                                synth_count=cfg.synth_count,
+                                num_points=cfg.num_points)
 
     trainer = Trainer(cfg)
     item = test_ds[0]

@@ -22,11 +22,22 @@ def main(argv=None):
 
     train_ds, val_ds, test_ds = get_dataset(
         cfg.dataset, random=cfg.random, random_slice=cfg.random_slice,
-        synth_count=cfg.synth_count)
+        synth_count=cfg.synth_count, num_points=cfg.num_points)
     print(f"train={len(train_ds)} val={len(val_ds)} test={len(test_ds)}")
 
     trainer = Trainer(cfg)
-    state = trainer.fit(train_ds, val_ds)
+    if cfg.device_data:
+        # on-device data path: the whole-cloud stack lives on the TPU and
+        # every batch (cut + FPS + boundary + twist) is generated under jit
+        from ..data.registry import category_clouds
+        clouds = category_clouds(cfg.dataset, synth_count=cfg.synth_count)
+        steps = cfg.max_steps or cfg.epochs * max(
+            1, len(train_ds) // cfg.batch_size)
+        state = trainer.fit_device_data(clouds, steps,
+                                        log_every=cfg.log_every,
+                                        save_every=cfg.save_every)
+    else:
+        state = trainer.fit(train_ds, val_ds)
 
     result = evaluate(trainer.model, state.params, state.batch_stats,
                       test_ds, output_path=cfg.output_path,

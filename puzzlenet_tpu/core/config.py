@@ -68,6 +68,13 @@ class Config:
                                              # always computes everything)
     early_stop_threshold: float = 7.0        # stop.txt marker threshold
     bf16: bool = False                       # bfloat16 activations
+    device_data: bool = False                # train via the on-device data
+                                             # pipeline (fit_device_data)
+    log_every: int = 50                      # scalar-log cadence (steps)
+    save_every: int = 1000                   # device-data ckpt cadence
+    viz_every: int = 500                     # TB mesh/attention cadence
+                                             # (reference logs every step,
+                                             # model5_b.py:972-982; 0 = off)
 
     def finalize(self):
         """per_parse equivalent (train.py:64-71): timestamped output dir."""

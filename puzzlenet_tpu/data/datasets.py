@@ -41,7 +41,7 @@ class SlicedCloudDataset:
 
     def __init__(self, clouds, mode="train", split_rate=0.9, slicer=None,
                  split_twice=False, seed=0, max_retries=64,
-                 return_cut=False):
+                 return_cut=False, npoint=NPOINT, boundary_k=BOUNDARY_K):
         """``clouds``: object array of [n_i, 3] float clouds (train split);
         for mode='test' pass the test-split array directly.
 
@@ -52,6 +52,8 @@ class SlicedCloudDataset:
         'need' behavior: expose the cutting surface for evaluation).
         """
         self.slicer = slicer or plane_split
+        self.npoint = npoint
+        self.boundary_k = boundary_k
         self.split_twice = split_twice
         self.seed = seed
         self.epoch = 0
@@ -76,17 +78,17 @@ class SlicedCloudDataset:
         return np.random.default_rng((self.seed, self.epoch, index))
 
     def _cut_until_big_enough(self, pc, rng):
-        """Re-slice until both sides have >= NPOINT points (bounded).
+        """Re-slice until both sides have >= npoint points (bounded).
         Stashes the cut parameters in self._last_cut when return_cut is on
         (dataset4val2's need=True contract)."""
         for _ in range(self.max_retries):
             res = self.slicer(pc, rng=rng, need=self.return_cut)
             up, down = res[0], res[1]
-            if len(up) >= NPOINT and len(down) >= NPOINT:
+            if len(up) >= self.npoint and len(down) >= self.npoint:
                 self._last_cut = res[2] if self.return_cut else None
                 return up, down
         # guaranteed fallback: plane through the centroid along the widest
-        # axis splits any cloud with >= 2*NPOINT points into two big halves
+        # axis splits any cloud with >= 2*npoint points into two big halves
         axis = int(np.argmax(pc.max(0) - pc.min(0)))
         med = np.median(pc[:, axis])
         normal = np.eye(3)[axis]
@@ -97,9 +99,9 @@ class SlicedCloudDataset:
         return up, down
 
     def _finalize(self, up, down, rng):
-        up = fps_np(up, NPOINT, rng=rng)
-        down = fps_np(down, NPOINT, rng=rng)
-        fpcb, rpcb, fpc_idx, rpc_idx = get_boundary_np(down, up, BOUNDARY_K)
+        up = fps_np(up, self.npoint, rng=rng)
+        down = fps_np(down, self.npoint, rng=rng)
+        fpcb, rpcb, fpc_idx, rpc_idx = get_boundary_np(down, up, self.boundary_k)
         return (up.astype(np.float32), down.astype(np.float32), fpcb, rpcb,
                 fpc_idx, rpc_idx)
 
@@ -132,35 +134,35 @@ class SlicedCloudDataset:
         sub1 = sub2 = None
         for _ in range(7):
             sub1, sub2 = self.slicer(target, rng=rng)
-            if len(sub1) >= NPOINT and len(sub2) >= NPOINT:
+            if len(sub1) >= self.npoint and len(sub2) >= self.npoint:
                 break
         else:
             return self._getitem_once(pc, rng)
-        if len(sub1) < NPOINT or len(sub2) < NPOINT:
+        if len(sub1) < self.npoint or len(sub2) < self.npoint:
             return self._getitem_once(pc, rng)
 
         se = int(rng.integers(0, 3))
         choice = int(rng.integers(0, 2))
         picked, rest = (sub1, sub2) if choice == 0 else (sub2, sub1)
 
-        if se == 0 or len(other) < NPOINT:
-            moved = fps_np(picked, NPOINT, rng=rng)
-            fixed = fps_np(np.vstack([rest, other]), NPOINT, rng=rng)
+        if se == 0 or len(other) < self.npoint:
+            moved = fps_np(picked, self.npoint, rng=rng)
+            fixed = fps_np(np.vstack([rest, other]), self.npoint, rng=rng)
         elif se == 1:
-            moved = fps_np(picked, NPOINT, rng=rng)
-            fixed = fps_np(other, NPOINT, rng=rng)
+            moved = fps_np(picked, self.npoint, rng=rng)
+            fixed = fps_np(other, self.npoint, rng=rng)
             fpcb, rpcb, fpc_idx, rpc_idx = get_boundary_np(fixed, moved,
-                                                           BOUNDARY_K)
+                                                           self.boundary_k)
             if _np_chamfer_mean(fpcb, rpcb) > 0.015:
                 return self._getitem_once(pc, rng)
             return (moved.astype(np.float32), fixed.astype(np.float32),
                     fpcb, rpcb, fpc_idx, rpc_idx)
         else:
-            moved = fps_np(sub1, NPOINT, rng=rng)
-            fixed = fps_np(sub2, NPOINT, rng=rng)
+            moved = fps_np(sub1, self.npoint, rng=rng)
+            fixed = fps_np(sub2, self.npoint, rng=rng)
 
         fpcb, rpcb, fpc_idx, rpc_idx = get_boundary_np(fixed, moved,
-                                                       BOUNDARY_K)
+                                                       self.boundary_k)
         return (moved.astype(np.float32), fixed.astype(np.float32), fpcb,
                 rpcb, fpc_idx, rpc_idx)
 

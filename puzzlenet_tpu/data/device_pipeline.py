@@ -7,20 +7,25 @@ processes (train.py:100-101, SURVEY.md §3.4). This pipeline builds the same
 
   whole clouds [B, M, 3] (resident on device, e.g. the synthetic families
   or preloaded npy payloads)
-    -> random plane cut (masked partition, fixed shapes)
+    -> random primitive cut: plane / sphere / cylinder / cone (masked
+       partition, fixed shapes — analytic inside tests matching
+       data/slicers.py == dataset.py:715-775 semantics)
+    -> optional split_twice second-cut/recombination (the 3-way scheme of
+       dataset.py:1203-1354, fixed-shape mask algebra)
     -> masked FPS to 1024 per side (invalid points can never be selected)
     -> top-128 mutual-chamfer boundary + masks
     -> random mag-0.8 twist applied to the up piece (igt recorded)
 
-Cut rejection is handled by drawing K candidate planes per cloud and
+Cut rejection is handled by drawing K candidate primitives per cloud and
 selecting the first whose smaller side still has >= 1024 points — a fixed-
 shape analogue of the reference's retry loop (dataset.py:1175-1179). The
 fallback candidate is the centroid plane along the widest axis, which
-always bisects.
+always bisects. split_twice computes both the single-cut and the twice-cut
+variants and selects by mask (the price of jit's static control flow; the
+second variant reuses the same masked-FPS/boundary machinery).
 
 This path feeds training/benchmarks at device speed; the host datasets
-(datasets.py) remain the reference-faithful generation path (all four
-slicers, split_twice).
+(datasets.py) remain the reference-faithful generation path.
 """
 
 import functools
@@ -35,52 +40,174 @@ from ..train.losses import Batch
 
 NPOINT = 1024
 N_CANDIDATES = 8
+CUT_TYPES = ("plane", "sphere", "cylinder", "cone")
 
 
-def _plane_partition(key, cloud, npoint):
-    """Pick a plane cut keeping >= npoint on both sides; return (up_idx,
-    down_idx) as fixed-size index sets via sort-by-side trick.
+def _axis_angle_matrices(w):
+    """[K, 3] axis-angle vectors -> [K, 3, 3] rotations (Rodrigues),
+    matching data/slicers.py::_axis_angle_matrix."""
+    t = jnp.linalg.norm(w, axis=-1, keepdims=True)  # [K, 1]
+    a = w / jnp.maximum(t, 1e-12)
+    zeros = jnp.zeros_like(a[:, 0])
+    K = jnp.stack([
+        jnp.stack([zeros, -a[:, 2], a[:, 1]], -1),
+        jnp.stack([a[:, 2], zeros, -a[:, 0]], -1),
+        jnp.stack([-a[:, 1], a[:, 0], zeros], -1)], -2)     # [K, 3, 3]
+    t = t[..., None]
+    eye = jnp.eye(3, dtype=w.dtype)
+    return eye + jnp.sin(t) * K + (1 - jnp.cos(t)) * (K @ K)
 
-    cloud [M, 3]. A point belongs 'up' if dot(p, n) + z >= 0
-    (plane_split semantics, dataset.py:761-775).
-    """
-    m = cloud.shape[0]
-    k_n, k_z = jax.random.split(key)
-    normals = jax.random.uniform(k_n, (N_CANDIDATES, 3), dtype=cloud.dtype)
-    zs = jax.random.uniform(k_z, (N_CANDIDATES,), dtype=cloud.dtype) / 3
-    dis = cloud @ normals.T + zs[None, :]              # [M, K]
-    up_counts = jnp.sum(dis >= 0, axis=0)              # [K]
-    ok = (up_counts >= npoint) & (m - up_counts >= npoint)
-    # fallback: centroid plane along the widest axis always bisects
-    extent = cloud.max(0) - cloud.min(0)
-    axis = jnp.argmax(extent)
-    fb_normal = jax.nn.one_hot(axis, 3, dtype=cloud.dtype)
-    fb_dis = cloud @ fb_normal - jnp.median(cloud @ fb_normal)
-    choice = jnp.argmax(ok)                            # first ok candidate
+
+def _candidate_masks(key, cloud, cut):
+    """[M, K] bool: K candidate partitions of one cloud for the given cut
+    type ('up' = inside the primitive / positive plane side)."""
+    kk = jax.random.split(key, 3)
+    if cut == "plane":
+        normals = jax.random.uniform(kk[0], (N_CANDIDATES, 3), cloud.dtype)
+        zs = jax.random.uniform(kk[1], (N_CANDIDATES,), cloud.dtype) / 3
+        return cloud @ normals.T + zs[None, :] >= 0
+    if cut == "sphere":
+        centers = jax.random.uniform(kk[0], (N_CANDIDATES, 3),
+                                     cloud.dtype) / 3
+        d2 = jnp.sum((cloud[:, None, :] - centers[None]) ** 2, -1)
+        return d2 < 0.5 ** 2
+    if cut == "cylinder":
+        R = _axis_angle_matrices(
+            jax.random.uniform(kk[0], (N_CANDIDATES, 3), cloud.dtype))
+        t = jax.random.uniform(kk[1], (N_CANDIDATES, 3), cloud.dtype) / 3
+        # primitive frame: p' = R^T (p - t) == (p - t) @ R
+        p = jnp.einsum("mi,kij->mkj", cloud, R) - jnp.einsum(
+            "ki,kij->kj", t, R)[None]
+        r2 = p[..., 0] ** 2 + p[..., 1] ** 2
+        return (r2 < 0.6 ** 2) & (jnp.abs(p[..., 2]) < 0.5)
+    if cut == "cone":
+        R = _axis_angle_matrices(
+            jax.random.uniform(kk[0], (N_CANDIDATES, 3), cloud.dtype))
+        p = jnp.einsum("mi,kij->mkj", cloud, R)       # undo rotation
+        zc = p[..., 2] + 1.0
+        r_at_z = 1.0 - zc / 2.0
+        r2 = p[..., 0] ** 2 + p[..., 1] ** 2
+        return (zc > 0) & (zc < 2.0) & (r2 < r_at_z * jnp.maximum(r_at_z, 0))
+    raise ValueError(cut)
+
+
+def _select_partition(masks, valid, npoint):
+    """Pick the first candidate column keeping >= npoint on both sides of
+    ``valid`` (the still-available points); returns (up_mask [M], ok)."""
+    m_eff = masks & valid[:, None]
+    up_counts = jnp.sum(m_eff, axis=0)
+    total = jnp.sum(valid)
+    ok = (up_counts >= npoint) & (total - up_counts >= npoint)
+    choice = jnp.argmax(ok)
     any_ok = jnp.any(ok)
-    side = jnp.where(any_ok, dis[:, choice], fb_dis)   # [M]
-    return side >= 0                                   # up mask
+    return m_eff[:, choice] & valid, any_ok
 
 
-def _masked_fps_points(xyz, mask, npoint, start_key):
+def _fallback_plane(cloud, valid):
+    """Centroid plane along the widest axis of the valid points — always
+    bisects (the bounded-rejection fallback, datasets.py:89-97)."""
+    big = jnp.where(valid[:, None], cloud, jnp.nan)
+    extent = jnp.nanmax(big, 0) - jnp.nanmin(big, 0)
+    axis = jnp.argmax(extent)
+    proj = cloud @ jax.nn.one_hot(axis, 3, dtype=cloud.dtype)
+    med = jnp.nanmedian(jnp.where(valid, proj, jnp.nan))
+    return (proj >= med) & valid
+
+
+def _partition(key, cloud, cut, npoint, valid=None):
+    """Partition the valid points of one cloud: returns (up_mask, ok)."""
+    if valid is None:
+        valid = jnp.ones(cloud.shape[0], bool)
+    masks = _candidate_masks(key, cloud, cut)
+    up, ok = _select_partition(masks, valid, npoint)
+    fb = _fallback_plane(cloud, valid)
+    return jnp.where(ok, up, fb), ok
+
+
+def _masked_fps_points(xyz, mask, npoint):
     """FPS restricted to masked points, returning gathered [npoint, 3]."""
-    # choose a valid start: first True index
     start = jnp.argmax(mask).astype(jnp.int32)
     idx = farthest_point_sample(xyz[None], npoint, start_idx=start[None],
                                 valid_mask=mask[None], use_pallas=False)[0]
     return xyz[idx]
 
 
-@functools.partial(jax.jit, static_argnames=("npoint", "boundary_k", "mag"))
-def make_batch(key, clouds, npoint=NPOINT, boundary_k=128, mag=0.8):
-    """clouds [B, M, 3] on device -> Batch (the 8-tuple contract)."""
+def _twice_masks(ks, cloud, cut, npoint):
+    """split_twice mask algebra (dataset.py:1203-1354 semantics, see
+    datasets.py::_getitem_twice for the host twin): returns
+    (moved_mask, fixed_mask, need_chamfer_check, use_single)."""
+    m = cloud.shape[0]
+    first_up, _ = _partition(ks[0], cloud, cut, npoint)
+    seed3 = jax.random.randint(ks[1], (), 0, 3)
+    n_up = jnp.sum(first_up)
+    n_down = m - n_up
+    # side-size gates (datasets.py:124-127): re-cutting needs >= 3000 pts
+    seed3 = jnp.where((seed3 == 1) & (n_up < 3000), 2, seed3)
+    seed3 = jnp.where((seed3 == 2) & (n_down < 3000), 1, seed3)
+    # if the chosen side STILL can't host a second cut, fall to single
+    target_is_up = seed3 == 1
+    target = jnp.where(target_is_up, first_up, ~first_up)
+    other = ~target
+    too_small = jnp.sum(target) < 2 * npoint
+
+    sub1, ok2 = _partition(ks[2], cloud, cut, npoint, valid=target)
+    sub2 = target & ~sub1
+
+    se = jax.random.randint(ks[3], (), 0, 3)
+    choice = jax.random.randint(ks[4], (), 0, 2)
+    picked = jnp.where(choice == 0, sub1, sub2)
+    rest = jnp.where(choice == 0, sub2, sub1)
+
+    other_small = jnp.sum(other) < npoint
+    se = jnp.where((se != 0) & other_small, 0, se)
+
+    moved = jnp.where(se == 2, sub1, picked)
+    fixed = jnp.where(se == 0, rest | other,
+                      jnp.where(se == 1, other, sub2))
+    use_single = (seed3 == 0) | too_small | ~ok2
+    need_check = (se == 1) & ~use_single
+    return moved, fixed, need_check, use_single
+
+
+@functools.partial(jax.jit, static_argnames=("npoint", "boundary_k", "mag",
+                                             "cut", "split_twice"))
+def make_batch(key, clouds, npoint=NPOINT, boundary_k=128, mag=0.8,
+               cut="plane", split_twice=False):
+    """clouds [B, M, 3] on device -> Batch (the 8-tuple contract).
+
+    ``cut`` selects the slicing primitive (matching the category registry's
+    slicer assignment); ``split_twice`` enables the second-cut scheme
+    (dataset.py:1203-1354, = the --random_slice flag).
+    """
     B = clouds.shape[0]
-    keys = jax.random.split(key, B * 3).reshape(B, 3, 2)
+    keys = jax.random.split(key, B * 8).reshape(B, 8, 2)
 
     def per_cloud(cloud, ks):
-        up_mask = _plane_partition(ks[0], cloud, npoint)
-        up = _masked_fps_points(cloud, up_mask, npoint, ks[1])
-        down = _masked_fps_points(cloud, ~up_mask, npoint, ks[1])
+        if not split_twice:
+            up_mask, _ = _partition(ks[0], cloud, cut, npoint)
+            up = _masked_fps_points(cloud, up_mask, npoint)
+            down = _masked_fps_points(cloud, ~up_mask, npoint)
+            return up, down
+
+        moved_m, fixed_m, need_check, use_single = _twice_masks(
+            ks[:5], cloud, cut, npoint)
+        single_up, _ = _partition(ks[0], cloud, cut, npoint)  # same draw
+        moved_m = jnp.where(use_single, single_up, moved_m)
+        fixed_m = jnp.where(use_single, ~single_up, fixed_m)
+        up = _masked_fps_points(cloud, moved_m, npoint)
+        down = _masked_fps_points(cloud, fixed_m, npoint)
+
+        # se == 1 boundary-proximity rejection (datasets.py:154-157,
+        # dataset.py:1268-1281): if the pieces' boundaries are farther than
+        # 0.015 mean-chamfer, replace with the single-cut pair
+        s_up = _masked_fps_points(cloud, single_up, npoint)
+        s_down = _masked_fps_points(cloud, ~single_up, npoint)
+        fb, rb, _, _ = get_boundary(down[None], up[None], boundary_k)
+        d = jnp.sum((fb[0][:, None] - rb[0][None]) ** 2, -1)
+        cham = d.min(0).mean() + d.min(1).mean()
+        reject = need_check & (cham > 0.015)
+        up = jnp.where(reject, s_up, up)
+        down = jnp.where(reject, s_down, down)
         return up, down
 
     up, down = jax.vmap(per_cloud)(clouds, keys)
@@ -91,7 +218,7 @@ def make_batch(key, clouds, npoint=NPOINT, boundary_k=128, mag=0.8):
         x = jax.random.normal(k, (6,), clouds.dtype)
         return x / jnp.linalg.norm(x) * mag
 
-    twists = jax.vmap(per_twist)(keys[:, 2])
+    twists = jax.vmap(per_twist)(keys[:, 7])
     igt = se3.exp(twists)
     mup = se3.transform_points(igt, up)
 

@@ -41,6 +41,35 @@ def data_dir():
     return os.environ.get("PUZZLENET_DATA_DIR", "data")
 
 
+def category_cut(category):
+    """Cut-primitive name for a category ('plane'/'sphere'/'cylinder'/
+    'cone') — the device pipeline's static analogue of the registry's
+    slicer assignment. Unknown/pair categories default to 'plane'."""
+    if category in _NAMES:
+        return _NAMES[category][2].__name__.replace("_split", "")
+    return "plane"
+
+
+def category_clouds(category, synth_count=64, split="train"):
+    """The whole-cloud stack a category slices from, as one [n, M, 3] f32
+    array (clouds FPS-trimmed to the min cloud size so the stack is
+    rectangular) — the input format of data/device_pipeline.make_batch."""
+    if category not in _NAMES:
+        raise ValueError(f"no whole-cloud stack for category {category!r}")
+    name, family, _ = _NAMES[category]
+    if split == "test":
+        clouds = _load_clouds(name.replace("_train", "_test"), family,
+                              max(synth_count // 4, 8), seed=10_000)
+    else:
+        clouds = _load_clouds(name, family, synth_count, seed=0)
+    arrs = [np.asarray(c, np.float32) for c in clouds]
+    m = min(a.shape[0] for a in arrs)
+    rng = np.random.default_rng(1234)
+    trimmed = [a[rng.permutation(a.shape[0])[:m]] if a.shape[0] > m else a
+               for a in arrs]
+    return np.stack(trimmed)
+
+
 def _is_lfs_stub(path):
     try:
         if os.path.getsize(path) < 512:
@@ -58,17 +87,20 @@ def _load_clouds(name, family, count, seed):
     return synthetic_clouds(family=family, count=count, seed=seed)
 
 
-def _sliced_triple(name, family, slicer, random_slice, synth_count=64):
+def _sliced_triple(name, family, slicer, random_slice, synth_count=64,
+                   num_points=1024):
     train_clouds = _load_clouds(name, family, synth_count, seed=0)
     test_clouds = _load_clouds(name.replace("_train", "_test"), family,
                                max(synth_count // 4, 8), seed=10_000)
     mk = lambda clouds, mode: SlicedCloudDataset(  # noqa: E731
-        clouds, mode=mode, slicer=slicer, split_twice=random_slice)
+        clouds, mode=mode, slicer=slicer, split_twice=random_slice,
+        npoint=num_points)
     return (mk(train_clouds, "train"), mk(train_clouds, "val"),
             mk(test_clouds, "test"))
 
 
-def get_dataset(category, random=False, random_slice=False, synth_count=64):
+def get_dataset(category, random=False, random_slice=False, synth_count=64,
+                num_points=1024):
     """(train, val, test) MovedDataset triple for a category name.
 
     Mirrors dataset.py:1434-1558: 'fr' -> building pairs; 'cadr'/'bedr'/
@@ -93,7 +125,7 @@ def get_dataset(category, random=False, random_slice=False, synth_count=64):
     elif category in _NAMES:
         name, family, slicer = _NAMES[category]
         tr, va, te = _sliced_triple(name, family, slicer, random_slice,
-                                    synth_count)
+                                    synth_count, num_points=num_points)
     else:
         raise ValueError(f"Unknown dataset category: {category!r}")
 

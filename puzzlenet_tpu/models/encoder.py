@@ -14,7 +14,7 @@ Capability parity with the reference encoder stack:
   a quirk in SURVEY.md §7.2(5).
 """
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -54,22 +54,29 @@ class OffsetAttention(nn.Module):
 
     q, k project to dim/4, v to dim; r = x - softmax(q k^T / sqrt(dim/4)) v;
     out = x + relu(Linear(r)). Returns (out, attention).
+
+    ``dtype`` is the computation dtype (bfloat16 under --bf16; params stay
+    f32). The softmax runs in f32 either way (standard mixed-precision
+    hygiene: bf16 logits into a f32-accumulated softmax).
     """
 
     dim: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         d_qk = self.dim // 4
-        q = nn.Dense(d_qk, name="q")(x)
-        k = nn.Dense(d_qk, name="k")(x)
-        v = nn.Dense(self.dim, name="v")(x)
-        logits = jnp.einsum("bnd,bmd->bnm", q, k) / jnp.sqrt(
-            jnp.asarray(d_qk, x.dtype))
+        q = nn.Dense(d_qk, name="q", dtype=self.dtype)(x)
+        k = nn.Dense(d_qk, name="k", dtype=self.dtype)(x)
+        v = nn.Dense(self.dim, name="v", dtype=self.dtype)(x)
+        logits = jnp.einsum("bnd,bmd->bnm", q, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits / jnp.sqrt(jnp.asarray(d_qk, jnp.float32))
         attention = nn.softmax(logits, axis=-1)
-        r = jnp.einsum("bnm,bmd->bnd", attention, v)
+        r = jnp.einsum("bnm,bmd->bnd", attention.astype(self.dtype), v)
         r = x - r
-        out = x + nn.relu(nn.Dense(self.dim, name="out")(r))
+        out = x + nn.relu(nn.Dense(self.dim, name="out",
+                                   dtype=self.dtype)(r))
         return out, attention
 
 
@@ -88,6 +95,8 @@ class PCTEncoder(nn.Module):
     sg1_points: int = 512
     sg2_points: int = 256
     knn: int = 32
+    dtype: Any = jnp.float32    # activation dtype (bf16 under --bf16); the
+                                # fused SG kernel and BN stats stay f32
 
     @nn.compact
     def __call__(self, xyz, train: bool = False):
@@ -131,15 +140,22 @@ class PCTEncoder(nn.Module):
                                         self.knn)         # [B, 256, 256]
 
         # 4 stacked offset-attention blocks; attentions averaged
+        f2f = f2f.astype(self.dtype)
         with jax.named_scope("offset_attention"):
-            att1, attention1 = OffsetAttention(d2, name="atten1")(f2f)
-        att2, attention2 = OffsetAttention(d2, name="atten2")(att1)
-        att3, attention3 = OffsetAttention(d2, name="atten3")(att2)
-        att4, attention4 = OffsetAttention(d2, name="atten4")(att3)
+            att1, attention1 = OffsetAttention(d2, dtype=self.dtype,
+                                               name="atten1")(f2f)
+        att2, attention2 = OffsetAttention(d2, dtype=self.dtype,
+                                           name="atten2")(att1)
+        att3, attention3 = OffsetAttention(d2, dtype=self.dtype,
+                                           name="atten3")(att2)
+        att4, attention4 = OffsetAttention(d2, dtype=self.dtype,
+                                           name="atten4")(att3)
         att = jnp.concatenate([att1, att2, att3, att4, f2f], axis=-1)
         attention = (attention1 + attention2 + attention3 + attention4) / 4
 
-        out_local = nn.Dense(self.out_dim, name="out")(att)  # [B, 256, 1024]
+        out_local = nn.Dense(self.out_dim, name="out",
+                             dtype=self.dtype)(att)          # [B, 256, 1024]
+        out_local = out_local.astype(jnp.float32)
         f_global = jnp.max(out_local, axis=1)                # [B, 1024]
 
         return f_global, x2, attention, out_local, x_feature

@@ -22,7 +22,7 @@ The pretrain path (= predict6, model5_b.py:612-659) encodes *both* pieces
 with encoder #1 and skips the boundary branch.
 """
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -43,11 +43,15 @@ class PuzzleNetOutput(NamedTuple):
 class PoseMLP(nn.Module):
     """tfMLP (model5_b.py:559-569)."""
 
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, f):
+        f = f.astype(self.dtype)
         for w in (1024, 512, 512, 256):
-            f = nn.relu(nn.Dense(w)(f))
-        return nn.Dense(6)(f)
+            f = nn.relu(nn.Dense(w, dtype=self.dtype)(f))
+        # the twist head stays f32: its 6 outputs feed se3.exp directly
+        return nn.Dense(6)(f.astype(jnp.float32))
 
 
 class _PointMLP(nn.Module):
@@ -78,11 +82,16 @@ class _PointMLP(nn.Module):
 class PuzzleNet(nn.Module):
     num_points: int = 1024
     asymmetric_global_quirk: bool = False
+    dtype: Any = jnp.float32      # activation dtype (--bf16 sets bfloat16);
+                                  # params, BN stats, twist head, boundary
+                                  # logits stay f32
 
     def setup(self):
-        self.encoder_fpc = PCTEncoder(num_points=self.num_points)
-        self.encoder_mrpc = PCTEncoder(num_points=self.num_points)
-        self.pose_mlp = PoseMLP()
+        self.encoder_fpc = PCTEncoder(num_points=self.num_points,
+                                      dtype=self.dtype)
+        self.encoder_mrpc = PCTEncoder(num_points=self.num_points,
+                                       dtype=self.dtype)
+        self.pose_mlp = PoseMLP(dtype=self.dtype)
         # per-point boundary feature MLPs 64->64->64 (all layers relu'd in
         # the reference? model5_b.py:571-584 ends without a trailing relu)
         self.local_pre_fpc = _PointMLP((64, 64, 64))

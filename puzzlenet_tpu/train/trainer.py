@@ -85,6 +85,34 @@ def train_step(model, tx, flags, pretrain, state, batch):
 
 
 @functools.partial(jax.jit, static_argnames=("model", "pretrain"))
+def viz_step(model, pretrain, state, batch):
+    """Forward pass returning everything the TB visualizations need:
+    the registered piece, stage-2 centroids + attention, and top-128
+    predicted boundary points (model5_b.py:972-982, 1213-1227, 1268-1277
+    call sites)."""
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    out = model.apply(variables, batch.fpc, batch.mrpc, train=False,
+                      pretrain=pretrain)
+    mat = se3.exp(out.twist)
+    de_mrpc = se3.transform_points(mat, batch.mrpc)
+    vis = {"de_mrpc": de_mrpc, "fpc_x2": out.fpc_x2,
+           "mrpc_x2": out.mrpc_x2, "fpc_attention": out.fpc_attention,
+           "mrpc_attention": out.mrpc_attention}
+    if not pretrain:
+        from ..ops import index_points
+        logits_f = jnp.swapaxes(out.fpcb_logits, 1, 2)
+        logits_m = jnp.swapaxes(out.mrpcb_logits, 1, 2)
+        _, top_f = jax.lax.top_k(logits_f[..., 1] - logits_f[..., 0], 128)
+        _, top_m = jax.lax.top_k(logits_m[..., 1] - logits_m[..., 0], 128)
+        de_fpcb = index_points(batch.fpc, top_f)
+        de_mrpcb = se3.transform_points(
+            mat, index_points(batch.mrpc, top_m))
+        vis["de_fpcb"] = de_fpcb
+        vis["de_mrpcb"] = de_mrpcb
+    return vis
+
+
+@functools.partial(jax.jit, static_argnames=("model", "pretrain"))
 def eval_step(model, pretrain, state, batch):
     """validation_step metric suite (model5_b.py:1172-1277)."""
     variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -116,7 +144,8 @@ class Trainer:
                                       batch_size=cfg.batch_size)
         self.model = PuzzleNet(
             num_points=cfg.num_points,
-            asymmetric_global_quirk=cfg.asymmetric_global_quirk)
+            asymmetric_global_quirk=cfg.asymmetric_global_quirk,
+            dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32)
         self.tx = make_optimizer(cfg)
         self.flags = LossFlags(
             loss_mode=cfg.loss_mode, loss_sum=cfg.loss_sum,
@@ -246,6 +275,9 @@ class Trainer:
                         vals["lr"] = float(lr_schedule(cfg.lr)(
                             global_step - 1))
                         self.logger.scalars(vals, global_step)
+                    if cfg.viz_every and (global_step % cfg.viz_every == 0
+                                          or global_step == 1):
+                        self._viz_train(state, batch, pretrain, global_step)
                     if cfg.max_steps and global_step >= cfg.max_steps:
                         break
 
@@ -279,20 +311,33 @@ class Trainer:
         return state
 
     def fit_device_data(self, clouds, steps, val_ds=None, log_every=20,
-                        scan_chunk=1):
+                        scan_chunk=1, pretrain_steps=None, cut=None,
+                        split_twice=None, save_every=1000):
         """TPU-resident training: batches generated on-device per step
         (data/device_pipeline.py) from a preloaded cloud stack — no host
         data path at all. ``clouds``: [n_clouds, M, 3] array.
 
         The reference's equivalent is 64 DataLoader worker processes
         feeding the GPU (train.py:100-109); here the whole pipeline (cut,
-        masked FPS, boundary, twist) is ~15 ms of device time per batch.
+        masked FPS, boundary, twist) is device time per batch.
+
+        Reference-recipe parity knobs:
+          * ``pretrain_steps`` — the per-epoch pretrain->main gate
+            (model5_b.py:928-933) in step units; defaults to
+            cfg.pretrain_epochs * (n_clouds // batch_size). Phase 1 runs the
+            pose-only predict6 path, phase 2 the full predict5 losses.
+          * ``cut``/``split_twice`` — the cut primitive and second-cut
+            scheme; default from the run's dataset category and
+            --random_slice flag, so the device path samples the same data
+            distribution as the host datasets.
+
         ``scan_chunk`` > 1 runs that many steps inside one lax.scan
         (single dispatch per chunk) — measured SLOWER on the remote-TPU
         tunnel (the big fused program compiles long and pipelines worse
         than async per-step dispatch), so the default stays 1.
         """
         from ..data.device_pipeline import make_batch
+        from ..data.registry import category_cut
 
         cfg = self.cfg
         os.makedirs(cfg.output_path, exist_ok=True)
@@ -300,44 +345,70 @@ class Trainer:
         clouds = jnp.asarray(clouds)
         n_clouds = clouds.shape[0]
         key = jax.random.PRNGKey(cfg.seed)
-        pretrain = cfg.pretrain_epochs > 0  # device path: one static phase
+        cut = category_cut(cfg.dataset) if cut is None else cut
+        split_twice = (cfg.random_slice if split_twice is None
+                       else split_twice)
+        steps_per_epoch = max(1, n_clouds // cfg.batch_size)
+        if pretrain_steps is None:
+            pretrain_steps = cfg.pretrain_epochs * steps_per_epoch
+        pretrain_steps = min(pretrain_steps, steps)
 
-        def one_step(state, k):
+        def one_step(pretrain, state, k):
             k_sel, k_batch = jax.random.split(k)
             sel = jax.random.choice(k_sel, n_clouds, (cfg.batch_size,),
                                     replace=n_clouds < cfg.batch_size)
-            batch = make_batch(k_batch, clouds[sel], npoint=cfg.num_points)
+            batch = make_batch(k_batch, clouds[sel], npoint=cfg.num_points,
+                               cut=cut, split_twice=split_twice)
             return train_step(self.model, self.tx, self.flags, pretrain,
                               state, batch)
 
-        @jax.jit
-        def chunk_fn(state, keys):
+        @functools.partial(jax.jit, static_argnames=("pretrain",))
+        def chunk_fn(pretrain, state, keys):
             def body(state, k):
-                state, metrics = one_step(state, k)
+                state, metrics = one_step(pretrain, state, k)
                 return state, metrics["train_loss"]
             return jax.lax.scan(body, state, keys)
 
         # init from one eagerly-built batch
         first = shard_batch(self.mesh, jax.jit(
             lambda k: make_batch(k, clouds[:cfg.batch_size],
-                                 npoint=cfg.num_points))(key))
+                                 npoint=cfg.num_points, cut=cut,
+                                 split_twice=split_twice))(key))
         state = self.init_state(first)
         if cfg.resume:
             state = self.restore_checkpoint(state, cfg.resume)
 
         losses = []
-        done = 0
+        done = int(state.step)
         while done < steps:
-            n = min(scan_chunk, steps - done)
+            pretrain = done < pretrain_steps
+            # never cross the phase boundary inside one chunk
+            limit = pretrain_steps if pretrain else steps
+            n = min(scan_chunk, limit - done)
             keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
                 jnp.arange(done, done + n))
-            state, chunk_losses = chunk_fn(state, keys)
+            state, chunk_losses = chunk_fn(pretrain, state, keys)
             losses.append(chunk_losses)
             done += n
-            if done % log_every < n:
+            if done % log_every < n or done == limit:
                 window = float(jnp.mean(losses[-1]))
+                phase = "pretrain" if pretrain else "main"
                 self.logger.scalar("train_loss", window, done)
-                print(f"step {done}/{steps} loss {window:.4f}", flush=True)
+                print(f"step {done}/{steps} [{phase}] loss {window:.4f}",
+                      flush=True)
+            if save_every and done % save_every < n and done < steps:
+                self.save_checkpoint(state, done,
+                                     float(jnp.mean(losses[-1])))
+            if cfg.viz_every and done % cfg.viz_every < n:
+                viz_batch = jax.jit(functools.partial(
+                    make_batch, npoint=cfg.num_points, cut=cut,
+                    split_twice=split_twice))(
+                        jax.random.fold_in(key, steps + done),
+                        clouds[:cfg.batch_size])
+                self._viz_train(state, viz_batch, pretrain, done)
+                self._viz_val(state, viz_batch, pretrain, done)
+        if not losses:   # resumed at/after the target step: nothing to do
+            return state
         final_loss = float(jnp.mean(losses[-1]))
         self.save_checkpoint(state, steps, final_loss)
         self.ckpt_manager.wait_until_finished()
@@ -346,11 +417,59 @@ class Trainer:
                 f.write(f"stop\n{steps}\n{final_loss}")
         return state
 
+    # -- visualization ------------------------------------------------------
+
+    def _viz_train(self, state, batch, pretrain, step):
+        """Training-step point-cloud + attention viz with the reference
+        tags (model5_b.py:972-982): train_output / train_dataset /
+        train_gt / train__x2 mesh pairs and the two attention maps."""
+        v = viz_step(self.model, pretrain, state, batch)
+        i = min(1, batch.fpc.shape[0] - 1)  # index=1 in the reference
+        fpc = np.asarray(batch.fpc[i])
+        self.logger.mesh_pair("train_output", fpc,
+                              np.asarray(v["de_mrpc"][i]), step)
+        self.logger.mesh_pair("train_dataset", fpc,
+                              np.asarray(batch.mrpc[i]), step)
+        self.logger.mesh_pair("train_gt", fpc, np.asarray(batch.rpc[i]),
+                              step)
+        self.logger.mesh_pair("train__x2", np.asarray(v["fpc_x2"][i]),
+                              np.asarray(v["mrpc_x2"][i]), step)
+        self.logger.attention_figure("train_fpc_attention_map",
+                                     v["fpc_x2"][i], v["fpc_attention"][i],
+                                     step)
+        self.logger.attention_figure("train_mrpc_attention_map",
+                                     v["mrpc_x2"][i],
+                                     v["mrpc_attention"][i], step)
+
+    def _viz_val(self, state, batch, pretrain, step):
+        """Validation viz (model5_b.py:1213-1227, 1268-1277): result / gt /
+        dataset meshes plus the three boundary pairs."""
+        v = viz_step(self.model, pretrain, state, batch)
+        i = min(1, batch.fpc.shape[0] - 1)
+        fpc = np.asarray(batch.fpc[i])
+        # the reference's tags are '实验结果'/'gt'/'数据集' (result/gt/dataset)
+        self.logger.mesh_pair("val_result", np.asarray(v["de_mrpc"][i]),
+                              fpc, step)
+        self.logger.mesh_pair("val_gt", np.asarray(batch.rpc[i]), fpc, step)
+        self.logger.mesh_pair("val_dataset", np.asarray(batch.mrpc[i]), fpc,
+                              step)
+        if not pretrain:
+            self.logger.mesh_pair("val_rpcb&fpcb", np.asarray(batch.rpcb[i]),
+                                  np.asarray(batch.fpcb[i]), step)
+            self.logger.mesh_pair("val_de_mrpcb&fpcb",
+                                  np.asarray(v["de_mrpcb"][i]),
+                                  np.asarray(batch.fpcb[i]), step)
+            self.logger.mesh_pair("val_de_mrpcb&de_fpcb",
+                                  np.asarray(v["de_mrpcb"][i]),
+                                  np.asarray(v["de_fpcb"][i]), step)
+
     def validate(self, state, val_loader, pretrain, global_step):
         agg = None
         n = 0
         for arrays in val_loader:
             batch = self._to_batch(arrays)
+            if n == 0:
+                self._viz_val(state, batch, pretrain, global_step)
             vals = eval_step(self.model, pretrain, state, batch)
             vals = {k: float(v) for k, v in vals.items()}
             agg = vals if agg is None else {

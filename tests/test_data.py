@@ -293,3 +293,142 @@ class TestCutSurface:
         pts = sample_cut_surface({"type": "plane", "normal": n, "z": 0.2},
                                  n=100, rng=rng)
         np.testing.assert_allclose(pts @ n + 0.2, 0.0, atol=1e-4)
+
+
+class TestRealDataPaths:
+    """fr/bbv real-payload paths (VERDICT round-1 weak #6): exercise
+    BreakingDataset and BuildingDataset with tiny generated manifests /
+    npys so they stop being dead-until-data code."""
+
+    @staticmethod
+    def _write_icosphere_obj(path, rng, offset=0.0):
+        """A ~2-subdivision random blob mesh as OBJ (enough surface area
+        for 2000-sample -> 1024-FPS)."""
+        import numpy as np
+        t = np.linspace(0, np.pi, 24)
+        p = np.linspace(0, 2 * np.pi, 24)
+        tt, pp = np.meshgrid(t, p)
+        r = 1.0 + 0.1 * rng.random()
+        xyz = np.stack([r * np.sin(tt) * np.cos(pp) + offset,
+                        r * np.sin(tt) * np.sin(pp),
+                        r * np.cos(tt)], -1).reshape(-1, 3)
+        with open(path, "w") as f:
+            for v in xyz:
+                f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+            n = 24
+            for i in range(n - 1):
+                for j in range(n - 1):
+                    a = i * n + j + 1
+                    b = a + 1
+                    c = a + n
+                    d = c + 1
+                    f.write(f"f {a} {b} {c}\n")
+                    f.write(f"f {b} {d} {c}\n")
+
+    def test_breaking_dataset_real_manifest(self, tmp_path):
+        import json
+
+        from puzzlenet_tpu.data.breaking import BreakingDataset
+
+        rng = np.random.default_rng(0)
+        cfg_dir = tmp_path / "config"
+        data_dir = tmp_path / "data"
+        cfg_dir.mkdir()
+        data_dir.mkdir()
+        for name, off in (("a.obj", 0.0), ("b.obj", 0.8), ("c.obj", -0.8)):
+            self._write_icosphere_obj(str(data_dir / name), rng, off)
+        manifest = {
+            "train_maps_tiny": [["a.obj", "b.obj"],
+                                [["a.obj", "b.obj"], "c.obj"]],
+            "test_maps_tiny": [["b.obj", "c.obj"]],
+        }
+        with open(cfg_dir / "tmp.json", "w") as f:
+            json.dump(manifest, f)
+
+        ds = BreakingDataset(mode="train", config_dir=str(cfg_dir),
+                             data_dir=str(data_dir))
+        assert len(ds) == 2
+        for i in range(2):
+            item = ds[i]
+            assert item[0].shape == (1024, 3)   # points2
+            assert item[1].shape == (1024, 3)   # points1
+            assert item[2].shape == (128, 3)    # fpcb
+            assert item[4].shape == (1024,)     # fpc_idx mask
+            assert float(np.asarray(item[4]).sum()) == 128
+            assert np.isfinite(item[0]).all()
+        # test mode appends the manifest entry
+        dt = BreakingDataset(mode="test", config_dir=str(cfg_dir),
+                             data_dir=str(data_dir))
+        item = dt[0]
+        assert item[-1] == ["b.obj", "c.obj"]
+        # deterministic per index
+        np.testing.assert_array_equal(ds[0][0], ds[0][0])
+        # missing manifests raise (the reference requires ./config/*.json,
+        # dataset.py:1008-1099)
+        import pytest as _pytest
+        with _pytest.raises(FileNotFoundError):
+            BreakingDataset(mode="train", config_dir=str(tmp_path / "nope"))
+
+    def test_building_dataset_real_npys(self, tmp_path):
+        from puzzlenet_tpu.data.datasets import BuildingDataset
+
+        rng = np.random.default_rng(1)
+        f = rng.normal(size=(6, 1024, 3)).astype(np.float32)
+        r = f + 0.01 * rng.normal(size=f.shape).astype(np.float32)
+        np.save(tmp_path / "buildings_f_train1024.npy", f)
+        np.save(tmp_path / "buildings_r_train1024.npy", r)
+        np.save(tmp_path / "buildings_f_test1024.npy", f[:2])
+        np.save(tmp_path / "buildings_r_test1024.npy", r[:2])
+
+        tr = BuildingDataset(str(tmp_path), "train")
+        va = BuildingDataset(str(tmp_path), "val")
+        te = BuildingDataset(str(tmp_path), "test")
+        assert len(tr) == 4 and len(va) == 2 and len(te) == 2
+        rpc, fpc, fpcb, rpcb, fpc_idx, rpc_idx = tr[0]
+        assert rpc.shape == (1024, 3) and fpcb.shape == (128, 3)
+        assert float(np.asarray(fpc_idx).sum()) == 128
+        np.testing.assert_array_equal(fpc, f[0])
+        np.testing.assert_array_equal(rpc, r[0])
+
+    def test_fr_registry_with_real_npys(self, tmp_path, monkeypatch):
+        """get_dataset('fr') resolves the real building npys through
+        $PUZZLENET_DATA_DIR and emits the 8-tuple contract
+        (dataset.py:1434-1443)."""
+        rng = np.random.default_rng(2)
+        f = rng.normal(size=(5, 1024, 3)).astype(np.float32)
+        np.save(tmp_path / "buildings_f_train1024.npy", f)
+        np.save(tmp_path / "buildings_r_train1024.npy", f + 0.01)
+        np.save(tmp_path / "buildings_f_test1024.npy", f[:2])
+        np.save(tmp_path / "buildings_r_test1024.npy", f[:2] + 0.01)
+        monkeypatch.setenv("PUZZLENET_DATA_DIR", str(tmp_path))
+
+        tr, va, te = D.get_dataset("fr")
+        item = tr[0]
+        assert len(item) == 8
+        assert item[0].shape == (1024, 3) and item[2].shape == (4, 4)
+        from puzzlenet_tpu.data.augment import transform_np
+        np.testing.assert_allclose(transform_np(item[2], item[3]), item[1],
+                                   atol=1e-5)
+
+    def test_bbv_registry_with_real_manifest(self, tmp_path, monkeypatch):
+        """get_dataset('bbv') drives BreakingDataset through the registry
+        (dataset.py:1544-1551 category)."""
+        import json
+
+        rng = np.random.default_rng(3)
+        cfg_dir = tmp_path / "config"
+        data_dir = tmp_path / "data"
+        cfg_dir.mkdir()
+        data_dir.mkdir()
+        for name, off in (("x.obj", 0.0), ("y.obj", 0.7)):
+            self._write_icosphere_obj(str(data_dir / name), rng, off)
+        with open(cfg_dir / "tmp.json", "w") as f:
+            json.dump({"train_maps_tiny": [["x.obj", "y.obj"]],
+                       "test_maps_tiny": [["x.obj", "y.obj"]]}, f)
+        monkeypatch.chdir(tmp_path)
+
+        tr, va, te = D.get_dataset("bbv")
+        item = tr[0]
+        assert len(item) == 8
+        assert item[0].shape == (1024, 3)
+        assert np.isfinite(item[1]).all()

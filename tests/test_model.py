@@ -145,3 +145,37 @@ class TestPointNetModules:
                             train=False)
         out = fp.apply(variables, fpc, xyz2, None, points2, train=False)
         assert out.shape == (B, N, 8)
+
+
+class TestBf16:
+    def test_bf16_forward_close_to_f32(self):
+        """--bf16 activations: same params, outputs within bf16 tolerance
+        of the f32 model; twist/logits returned as f32."""
+        import jax
+        import jax.numpy as jnp
+
+        from puzzlenet_tpu.models import PuzzleNet
+
+        n = 256
+        rng = np.random.default_rng(0)
+        fpc = jnp.asarray(rng.normal(size=(2, n, 3)).astype(np.float32))
+        mrpc = jnp.asarray(rng.normal(size=(2, n, 3)).astype(np.float32))
+        m32 = PuzzleNet(num_points=n)
+        mbf = PuzzleNet(num_points=n, dtype=jnp.bfloat16)
+        variables = m32.init(jax.random.PRNGKey(0), fpc, mrpc, train=False)
+        o32 = m32.apply(variables, fpc, mrpc, train=False)
+        obf = mbf.apply(variables, fpc, mrpc, train=False)
+        assert obf.twist.dtype == jnp.float32
+        assert obf.fpcb_logits.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(obf.twist),
+                                   np.asarray(o32.twist), atol=0.1)
+        # gradients flow through the bf16 path
+        def loss(params):
+            out = mbf.apply({"params": params,
+                             "batch_stats": variables["batch_stats"]},
+                            fpc, mrpc, train=False)
+            return jnp.sum(out.twist ** 2)
+        g = jax.grad(loss)(variables["params"])
+        flat = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+        assert any(float(jnp.abs(x).max()) > 0 for x in flat)
