@@ -79,7 +79,8 @@ def farthest_point_sample(xyz, npoint, start_idx=None, valid_mask=None,
         FPS over variable-size pieces in the on-device data pipeline.
 
     On TPU dispatches to the fused Pallas kernel (fps_pallas.py) when
-    ``use_pallas`` and the unmasked fast path applies.
+    ``use_pallas`` (masked or not — invalid lanes enter the kernel as
+    -inf initial distances and can never win the argmax).
     """
     B, N, _ = xyz.shape
     if start_idx is None:
@@ -87,11 +88,11 @@ def farthest_point_sample(xyz, npoint, start_idx=None, valid_mask=None,
     else:
         start = start_idx.astype(jnp.int32)
 
-    if use_pallas and valid_mask is None:
+    if use_pallas:
         try:
             from .fps_pallas import fps_pallas, pallas_supported
             if pallas_supported():
-                return fps_pallas(xyz, npoint, start)
+                return fps_pallas(xyz, npoint, start, valid_mask)
         except ImportError:
             pass
 

@@ -8,21 +8,30 @@ top_k's sort and the gather/scatter pairs dominate the profile (~24 ms of a
 43 ms encoder forward at B=64).
 
 This kernel runs the whole stage per (batch, centroid-block) grid step with
-everything resident in VMEM:
+everything resident in VMEM, in two phases:
 
-  * distances computed elementwise in f32 (exact),
-  * the 32 neighbors selected by iterative argmin + masking (same order and
-    tie-breaking as sorted top-k),
-  * each neighbor fetched by a one-hot MXU matmul — exact: exactly one
-    nonzero per row, so no accumulation error, only bf16 rounding of the
-    fetched value (the same rounding every XLA-default Dense applies),
-  * the two Dense layers + relu applied per neighbor and max-accumulated,
-    so the [S, 32, C] grouped tensor never exists anywhere.
+  * selection: k iterations of tournament argmin (ops/lanered.py) +
+    masking over the exact f32 distance tile — the same neighbor set as
+    sorted top-k (tie order aside; ties on float clouds mean duplicated
+    points with identical features, so the stage output is unchanged);
+  * compute: neighbors processed in blocks of 8 — the one-hot gather and
+    the two MLP layers run as 8x-taller MXU matmuls instead of 32 skinny
+    ones, and the [S, 32, C] grouped tensor never exists anywhere. The
+    one-hot gather is exact: one nonzero per row means no accumulation
+    error, only the bf16 rounding of the fetched value (the same rounding
+    every XLA-default Dense applies).
 
-The kernel also emits the neighbor indices; the custom VJP gathers by those
-saved indices and differentiates the (gather -> MLP -> max) graph, skipping
-the kNN recomputation entirely. Off-TPU the module falls back to the
-reference-shaped unfused path (identical math).
+Under grad the forward also emits per-neighbor relu-support bitmasks
+(one uint32 per (centroid, channel): bit k = neighbor k's pre-activation
+was positive). The backward gathers by the saved indices and routes
+cotangents by the saved masks + argmax indices, so it never has to
+reproduce the forward's rounding — recomputed activation VALUES only
+scale gradients (standard mixed-precision noise), they never flip a relu
+gate or a max winner. This replaces round 1's HIGHEST-precision
+fwd/bwd-recompute contract, which cost ~30% forward throughput.
+
+Off-TPU the module falls back to the reference-shaped unfused path
+(identical math).
 """
 
 import functools
@@ -33,32 +42,49 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .lanered import tournament_argmin
 from .pointops import index_points, knn_indices
 
 _S_BLK = 256
-
-
-def _xdot(a, b):
-    """Exact f32 dot (HIGHEST): forward activations and their backward
-    recompute must round identically, otherwise relu masks flip at
-    near-zero pre-activations and the custom VJP acquires O(1) noise."""
-    return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
 
 
 def pallas_supported():
     return jax.default_backend() == "tpu"
 
 
-def _sg_kernel(k_neighbors, precise, q_ref, xyz_ref, feats_ref, w1_ref,
-               b1_ref, w2_ref, b2_ref, out_ref, idx_ref, amax_ref):
+def _neighbor_block(k):
+    """Largest power-of-two block size (<= 8) dividing k."""
+    for kb in (8, 4, 2):
+        if k % kb == 0:
+            return kb
+    return 1
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _onehots(idxmat, kcols, lane, k0, kb, dtype):
+    """One-hot rows for neighbors k0..k0+kb-1, stacked on sublanes:
+    [kb*s, n]."""
+    ohs = []
+    for j in range(kb):
+        sel = jnp.sum(jnp.where(kcols == k0 + j, idxmat, 0), axis=1,
+                      keepdims=True)                     # [s, 1]
+        ohs.append((lane == sel).astype(dtype))
+    return jnp.concatenate(ohs, axis=0)
+
+
+def _sg_kernel(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
+               b1_ref, w2_ref, b2_ref, out_ref, idx_ref, amax_ref,
+               *mask_refs):
     q = q_ref[0]                      # [s, 3]
     xyz = xyz_ref[0]                  # [N, 3]
     feats = feats_ref[0]              # [N, C]
     w1, b1 = w1_ref[:, :], b1_ref[:, :]
     w2, b2 = w2_ref[:, :], b2_ref[:, :]
     s, n = q.shape[0], xyz.shape[0]
-    h2 = w2.shape[1]
+    h1n, h2n = w1.shape[1], w2.shape[1]
 
     dx = q[:, 0:1] - xyz[:, 0:1].T
     dy = q[:, 1:2] - xyz[:, 1:2].T
@@ -66,47 +92,67 @@ def _sg_kernel(k_neighbors, precise, q_ref, xyz_ref, feats_ref, w1_ref,
     d0 = dx * dx + dy * dy + dz * dz            # [s, n] f32, exact
 
     lane = lax.broadcasted_iota(jnp.int32, (s, n), 1)
-    cat = jnp.concatenate([xyz, feats], axis=1)  # [n, 3 + C]
-    kcols = lax.broadcasted_iota(jnp.int32, (s, k_neighbors), 1)
+    kcols = lax.broadcasted_iota(jnp.int32, (s, k), 1)
 
-    def body(k, carry):
-        d, acc, idx_acc, amax = carry
-        sel = jnp.argmin(d, axis=1).astype(jnp.int32)[:, None]   # [s, 1]
-        idx_acc = jnp.where(kcols == k, sel, idx_acc)
-        onehot = (lane == sel).astype(jnp.float32)               # [s, n]
-        # explicit-bf16 one-hot gather: exactly one nonzero per row and
-        # single-pass bf16 products make the result deterministic across
-        # kernels (the default f32 dot's 3-pass bf16 decomposition is
-        # tiling-dependent, which would flip relu masks in the backward)
-        nb = jnp.dot(onehot.astype(jnp.bfloat16), cat.astype(jnp.bfloat16),
-                     preferred_element_type=jnp.float32)
-        rel = nb[:, :3] - q
-        g = jnp.concatenate([rel, nb[:, 3:]], axis=1)            # [s, 3+C]
-        mm = _xdot if precise else (
-            lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32))
-        h = jnp.maximum(mm(g, w1) + b1, 0.0)
-        h = jnp.maximum(mm(h, w2) + b2, 0.0)
-        # argmax-k per channel: the backward masks by index, immune to
-        # recompute rounding (first max wins, like lax reduce argmax)
-        amax = jnp.where(h > acc, k, amax)
-        acc = jnp.maximum(acc, h)
-        d = jnp.where(onehot > 0, jnp.inf, d)
-        return d, acc, idx_acc, amax
+    # phase A — selection only: k tournament-argmin + mask rounds
+    def sel_body(i, carry):
+        d, idx_acc = carry
+        sel = tournament_argmin(d)                               # [s, 1]
+        idx_acc = jnp.where(kcols == i, sel, idx_acc)
+        d = jnp.where(lane == sel, jnp.inf, d)
+        return d, idx_acc
 
-    init = (d0, jnp.full((s, h2), -jnp.inf, jnp.float32),
-            jnp.zeros((s, k_neighbors), jnp.int32),
-            jnp.zeros((s, h2), jnp.int32))
-    _, acc, idx_acc, amax = lax.fori_loop(0, k_neighbors, body, init)
-    out_ref[0] = acc
+    _, idx_acc = lax.fori_loop(
+        0, k, sel_body, (d0, jnp.zeros((s, k), jnp.int32)))
     idx_ref[0] = idx_acc
+
+    # phase B — gather + MLP + max over neighbor blocks of kb. A fori_loop
+    # (not a Python unroll) keeps only ONE block's intermediates live in
+    # scoped VMEM; unrolled, the stage-2 shapes blow the 64 MB limit.
+    cat = jnp.concatenate([xyz, feats], axis=1).astype(jnp.bfloat16)
+    qs = jnp.concatenate([q] * kb, axis=0)                   # [kb*s, 3]
+
+    def blk_body(blk, carry):
+        acc, amax, m1, m2 = carry
+        k0 = blk * kb
+        oh = _onehots(idx_acc, kcols, lane, k0, kb, jnp.bfloat16)
+        nb = _dot(oh, cat)                                   # [kb*s, 3+C]
+        gk = jnp.concatenate([nb[:, :3] - qs, nb[:, 3:]], axis=1)
+        a1 = _dot(gk, w1) + b1
+        h1 = jnp.maximum(a1, 0.0)
+        a2 = _dot(h1, w2) + b2
+        hv = jnp.maximum(a2, 0.0)
+        for j in range(kb):
+            rows = slice(j * s, (j + 1) * s)
+            hj = hv[rows]
+            # first max wins (like lax reduce argmax): backward routes by
+            # this saved index, immune to recompute rounding
+            amax = jnp.where(hj > acc, k0 + j, amax)
+            acc = jnp.maximum(acc, hj)
+            if with_masks:
+                bit = (jnp.uint32(1) << (k0 + j).astype(jnp.uint32))
+                m1 = m1 | jnp.where(a1[rows] > 0, bit, jnp.uint32(0))
+                m2 = m2 | jnp.where(a2[rows] > 0, bit, jnp.uint32(0))
+        return acc, amax, m1, m2
+
+    mask_shape = (s, h1n) if with_masks else (1, 1)
+    mask_shape2 = (s, h2n) if with_masks else (1, 1)
+    acc, amax, m1, m2 = lax.fori_loop(
+        0, k // kb, blk_body,
+        (jnp.full((s, h2n), -jnp.inf, jnp.float32),
+         jnp.zeros((s, h2n), jnp.int32),
+         jnp.zeros(mask_shape, jnp.uint32),
+         jnp.zeros(mask_shape2, jnp.uint32)))
+    out_ref[0] = acc
     amax_ref[0] = amax
+    if with_masks:
+        mask_refs[0][0] = m1
+        mask_refs[1][0] = m2
 
 
-def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k, precise=True):
-    """``precise=True`` runs the MLP dots at HIGHEST precision so the
-    backward kernel's recomputed relu masks match bit-for-bit (required
-    under grad). ``precise=False`` is the inference fast path (~30% faster;
-    default-precision dots like every XLA Dense)."""
+def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k, with_masks):
+    """``with_masks=True`` (the under-grad path) additionally emits the
+    relu-support bitmasks the backward kernel routes gradients by."""
     B, S, _ = new_xyz.shape
     N, C = feats.shape[1], feats.shape[2]
     H, H2 = w1.shape[1], w2.shape[1]
@@ -116,8 +162,33 @@ def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k, precise=True):
     b2r = b2.reshape(1, H2)
 
     grid = (B, S // s_blk)
-    out, idx, amax = pl.pallas_call(
-        functools.partial(_sg_kernel, k, precise),
+    out_specs = [
+        pl.BlockSpec((1, s_blk, H2), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s_blk, k), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s_blk, H2), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, S, H2), jnp.float32),
+        jax.ShapeDtypeStruct((B, S, k), jnp.int32),
+        jax.ShapeDtypeStruct((B, S, H2), jnp.int32),
+    ]
+    if with_masks:
+        out_specs += [
+            pl.BlockSpec((1, s_blk, H), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_blk, H2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((B, S, H), jnp.uint32),
+            jax.ShapeDtypeStruct((B, S, H2), jnp.uint32),
+        ]
+
+    res = pl.pallas_call(
+        functools.partial(_sg_kernel, k, _neighbor_block(k), with_masks),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, s_blk, 3), lambda i, j: (i, j, 0),
@@ -135,35 +206,26 @@ def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k, precise=True):
             pl.BlockSpec((1, H2), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, s_blk, H2), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_blk, k), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_blk, H2), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, S, H2), jnp.float32),
-            jax.ShapeDtypeStruct((B, S, k), jnp.int32),
-            jax.ShapeDtypeStruct((B, S, H2), jnp.int32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
     )(new_xyz, xyz, feats, w1, b1r, w2, b2r)
-    return out, idx, amax
+    return res
 
 
-def _sg_bwd_kernel(k_neighbors, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
-                   w2_ref, b2_ref, idx_ref, amax_ref, g_ref,
-                   dq_ref, dcat_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
-    """Backward of the fused stage, recomputing per-neighbor activations
-    from the saved indices. Gradient conventions:
-      * max backward: cotangent routed by the argmax-k index saved by the
-        forward kernel (value-equality masks would drop gradient wherever
-        bf16 recompute rounds differently);
+def _sg_bwd_kernel(k, kb, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
+                   w2_ref, b2_ref, idx_ref, amax_ref, m1_ref, m2_ref,
+                   g_ref, dq_ref, dcat_ref, dw1_ref, db1_ref, dw2_ref,
+                   db2_ref):
+    """Backward of the fused stage. Gradient routing is fully determined
+    by the forward's saved artifacts:
+      * max backward: cotangent routed by the saved argmax-k index;
+      * relu backward: gates taken from the saved support bitmasks;
       * feats/xyz cotangents scattered via one-hot^T MXU matmuls;
       * dW/db accumulated across the whole grid (single revisited block).
+    Recomputed activations only provide VALUES (h1 for dw2, gk for dw1),
+    where rounding is ordinary mixed-precision noise.
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -174,13 +236,15 @@ def _sg_bwd_kernel(k_neighbors, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
     w2, b2 = w2_ref[:, :], b2_ref[:, :]
     idxmat = idx_ref[0]                    # [s, K]
     amax = amax_ref[0]                     # [s, H2] argmax neighbor index
+    m1 = m1_ref[0]                         # [s, H]  relu-support bits
+    m2 = m2_ref[0]                         # [s, H2]
     g = g_ref[0]                           # [s, H2]
     s, n = q.shape[0], xyz.shape[0]
-    c_in = w1.shape[0]
 
     lane = lax.broadcasted_iota(jnp.int32, (s, n), 1)
-    kcols = lax.broadcasted_iota(jnp.int32, (s, k_neighbors), 1)
-    cat = jnp.concatenate([xyz, feats], axis=1)
+    kcols = lax.broadcasted_iota(jnp.int32, (s, k), 1)
+    cat = jnp.concatenate([xyz, feats], axis=1).astype(jnp.bfloat16)
+    qs = jnp.concatenate([q] * kb, axis=0)
 
     @pl.when(j == 0)
     def _():
@@ -193,43 +257,53 @@ def _sg_bwd_kernel(k_neighbors, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
         dw2_ref[:, :] = jnp.zeros(dw2_ref.shape, jnp.float32)
         db2_ref[:, :] = jnp.zeros(db2_ref.shape, jnp.float32)
 
-    def hi_dot(a, b, dims):
-        return lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
+    def rows_dot(a, b):
+        """[R, X]^T . [R, Y] -> [X, Y] (contract the stacked rows)."""
+        return lax.dot_general(a, b, dimension_numbers=(((0,), (0,)),
+                                                        ((), ())),
                                preferred_element_type=jnp.float32)
 
-    def body(k, carry):
-        dq, dcat, dw1, db1, dw2, db2 = carry
-        sel = jnp.sum(jnp.where(kcols == k, idxmat, 0), axis=1,
-                      keepdims=True)                        # [s, 1]
-        onehot = (lane == sel).astype(jnp.float32)          # [s, n]
-        nb = jnp.dot(onehot.astype(jnp.bfloat16), cat.astype(jnp.bfloat16),
-                     preferred_element_type=jnp.float32)    # exact, see fwd
-        rel = nb[:, :3] - q
-        gk = jnp.concatenate([rel, nb[:, 3:]], axis=1)      # [s, c_in]
-        a1 = _xdot(gk, w1) + b1
-        h1 = jnp.maximum(a1, 0.0)
-        a2 = _xdot(h1, w2) + b2
+    def stack_k(build):
+        return jnp.concatenate([build(j) for j in range(kb)], axis=0)
 
-        dh2 = jnp.where(amax == k, g, 0.0)  # h2 = relu(a2) not needed
-        da2 = jnp.where(a2 > 0, dh2, 0.0)
-        dw2 = dw2 + hi_dot(h1, da2, ((0,), (0,)))           # [H, H2]
+    def blk_body(blk, carry):
+        dq, dcat, dw1, db1, dw2, db2 = carry
+        k0 = blk * kb
+        oh = _onehots(idxmat, kcols, lane, k0, kb, jnp.float32)
+        nb = _dot(oh.astype(jnp.bfloat16), cat)          # exact, see fwd
+        gk = jnp.concatenate([nb[:, :3] - qs, nb[:, 3:]], axis=1)
+        a1 = _dot(gk, w1) + b1
+        bit1 = stack_k(lambda jj: ((m1 >> (k0 + jj).astype(jnp.uint32))
+                                   & jnp.uint32(1)) > 0)  # [kb*s, H]
+        h1 = jnp.where(bit1, a1, 0.0)
+        dh2 = stack_k(lambda jj: jnp.where(amax == k0 + jj, g, 0.0))
+        bit2 = stack_k(lambda jj: ((m2 >> (k0 + jj).astype(jnp.uint32))
+                                   & jnp.uint32(1)) > 0)
+        da2 = jnp.where(bit2, dh2, 0.0)
+        dw2 = dw2 + rows_dot(h1, da2)                    # [H, H2]
         db2 = db2 + jnp.sum(da2, axis=0, keepdims=True)
-        dh1 = hi_dot(da2, w2, ((1,), (1,)))                 # [s, H]
-        da1 = jnp.where(a1 > 0, dh1, 0.0)
-        dw1 = dw1 + hi_dot(gk, da1, ((0,), (0,)))           # [c_in, H]
+        dh1 = lax.dot_general(da2, w2,
+                              dimension_numbers=(((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        da1 = jnp.where(bit1, dh1, 0.0)
+        dw1 = dw1 + rows_dot(gk, da1)                    # [c_in, H]
         db1 = db1 + jnp.sum(da1, axis=0, keepdims=True)
-        dgk = hi_dot(da1, w1, ((1,), (1,)))                 # [s, c_in]
-        dq = dq - dgk[:, :3]
-        dcat = dcat + hi_dot(onehot, dgk, ((0,), (0,)))     # [n, c_in]
+        dgk = lax.dot_general(da1, w1,
+                              dimension_numbers=(((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        for jj in range(kb):
+            dq = dq - dgk[jj * s:(jj + 1) * s, :3]
+        dcat = dcat + rows_dot(oh, dgk)                  # [n, c_in]
         return dq, dcat, dw1, db1, dw2, db2
 
-    init = (jnp.zeros((s, 3), jnp.float32),
-            jnp.zeros((n, c_in), jnp.float32),
-            jnp.zeros(dw1_ref.shape, jnp.float32),
-            jnp.zeros(db1_ref.shape, jnp.float32),
-            jnp.zeros(dw2_ref.shape, jnp.float32),
-            jnp.zeros(db2_ref.shape, jnp.float32))
-    dq, dcat, dw1, db1, dw2, db2 = lax.fori_loop(0, k_neighbors, body, init)
+    dq, dcat, dw1, db1, dw2, db2 = lax.fori_loop(
+        0, k // kb, blk_body,
+        (jnp.zeros((s, 3), jnp.float32),
+         jnp.zeros((n, cat.shape[1]), jnp.float32),
+         jnp.zeros(dw1_ref.shape, jnp.float32),
+         jnp.zeros(db1_ref.shape, jnp.float32),
+         jnp.zeros(dw2_ref.shape, jnp.float32),
+         jnp.zeros(db2_ref.shape, jnp.float32)))
 
     dq_ref[0] = dq
     dcat_ref[0] = dcat_ref[0] + dcat
@@ -239,7 +313,8 @@ def _sg_bwd_kernel(k_neighbors, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
     db2_ref[:, :] = db2_ref[:, :] + db2
 
 
-def _fused_backward(new_xyz, xyz, feats, w1, b1, w2, b2, idx, amax, g):
+def _fused_backward(new_xyz, xyz, feats, w1, b1, w2, b2, idx, amax,
+                    m1, m2, g):
     B, S, _ = new_xyz.shape
     N, C = feats.shape[1], feats.shape[2]
     c_in, H = w1.shape
@@ -249,7 +324,7 @@ def _fused_backward(new_xyz, xyz, feats, w1, b1, w2, b2, idx, amax, g):
     grid = (B, S // s_blk)
 
     dq, dcat, dw1, db1, dw2, db2 = pl.pallas_call(
-        functools.partial(_sg_bwd_kernel, k),
+        functools.partial(_sg_bwd_kernel, k, _neighbor_block(k)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, s_blk, 3), lambda i, j: (i, j, 0),
@@ -267,6 +342,10 @@ def _fused_backward(new_xyz, xyz, feats, w1, b1, w2, b2, idx, amax, g):
             pl.BlockSpec((1, H2), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s_blk, k), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_blk, H2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_blk, H), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s_blk, H2), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -298,7 +377,7 @@ def _fused_backward(new_xyz, xyz, feats, w1, b1, w2, b2, idx, amax, g):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
     )(new_xyz, xyz, feats, w1, b1.reshape(1, H), w2, b2.reshape(1, H2),
-      idx, amax, g)
+      idx, amax, m1, m2, g)
     return (dq, dcat[:, :, :3], dcat[:, :, 3:], dw1,
             db1.reshape(b1.shape), dw2, db2.reshape(b2.shape))
 
@@ -322,7 +401,7 @@ def fused_set_abstraction(new_xyz, xyz, feats, w1, b1, w2, b2, k):
     """
     if pallas_supported():
         out, _, _ = _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k,
-                                   precise=False)  # inference fast path
+                                   with_masks=False)
         return out
     idx = knn_indices(new_xyz, xyz, k)
     return _mlp_max_from_idx(new_xyz, xyz, feats, w1, b1, w2, b2, idx)
@@ -330,22 +409,22 @@ def fused_set_abstraction(new_xyz, xyz, feats, w1, b1, w2, b2, k):
 
 def _fsa_fwd(new_xyz, xyz, feats, w1, b1, w2, b2, k):
     if pallas_supported():
-        out, idx, amax = _fused_forward(new_xyz, xyz, feats, w1, b1, w2,
-                                        b2, k, precise=True)
+        out, idx, amax, m1, m2 = _fused_forward(
+            new_xyz, xyz, feats, w1, b1, w2, b2, k, with_masks=True)
     else:
         idx = knn_indices(new_xyz, xyz, k)
         out = _mlp_max_from_idx(new_xyz, xyz, feats, w1, b1, w2, b2, idx)
-        amax = None
-    return out, (new_xyz, xyz, feats, w1, b1, w2, b2, idx, amax)
+        amax = m1 = m2 = None
+    return out, (new_xyz, xyz, feats, w1, b1, w2, b2, idx, amax, m1, m2)
 
 
 def _fsa_bwd(k, res, g):
-    new_xyz, xyz, feats, w1, b1, w2, b2, idx, amax = res
+    new_xyz, xyz, feats, w1, b1, w2, b2, idx, amax, m1, m2 = res
     # differentiate the gather->MLP->max graph at the SAVED indices (the
     # kNN selection itself has zero gradient a.e.)
     if pallas_supported():
         return _fused_backward(new_xyz, xyz, feats, w1, b1, w2, b2, idx,
-                               amax, g)
+                               amax, m1, m2, g)
 
     def f(new_xyz, xyz, feats, w1, b1, w2, b2):
         return _mlp_max_from_idx(new_xyz, xyz, feats, w1, b1, w2, b2, idx)

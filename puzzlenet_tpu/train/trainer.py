@@ -362,12 +362,17 @@ class Trainer:
             return train_step(self.model, self.tx, self.flags, pretrain,
                               state, batch)
 
-        @functools.partial(jax.jit, static_argnames=("pretrain",))
-        def chunk_fn(pretrain, state, keys):
-            def body(state, k):
+        @functools.partial(jax.jit, static_argnames=("pretrain", "n_steps"),
+                           donate_argnames=("state",))
+        def chunk_fn(pretrain, n_steps, state):
+            # per-step keys derive from the step counter ON DEVICE (same
+            # fold_in(key, step) stream as before, resume-stable) — the
+            # whole training step is exactly one dispatch per chunk
+            def body(state, _):
+                k = jax.random.fold_in(key, state.step)
                 state, metrics = one_step(pretrain, state, k)
                 return state, metrics["train_loss"]
-            return jax.lax.scan(body, state, keys)
+            return jax.lax.scan(body, state, None, length=n_steps)
 
         # init from one eagerly-built batch
         first = shard_batch(self.mesh, jax.jit(
@@ -378,6 +383,9 @@ class Trainer:
         if cfg.resume:
             state = self.restore_checkpoint(state, cfg.resume)
 
+        viz_batch_fn = jax.jit(functools.partial(
+            make_batch, npoint=cfg.num_points, cut=cut,
+            split_twice=split_twice))
         losses = []
         done = int(state.step)
         while done < steps:
@@ -385,9 +393,7 @@ class Trainer:
             # never cross the phase boundary inside one chunk
             limit = pretrain_steps if pretrain else steps
             n = min(scan_chunk, limit - done)
-            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
-                jnp.arange(done, done + n))
-            state, chunk_losses = chunk_fn(pretrain, state, keys)
+            state, chunk_losses = chunk_fn(pretrain, n, state)
             losses.append(chunk_losses)
             done += n
             if done % log_every < n or done == limit:
@@ -400,11 +406,9 @@ class Trainer:
                 self.save_checkpoint(state, done,
                                      float(jnp.mean(losses[-1])))
             if cfg.viz_every and done % cfg.viz_every < n:
-                viz_batch = jax.jit(functools.partial(
-                    make_batch, npoint=cfg.num_points, cut=cut,
-                    split_twice=split_twice))(
-                        jax.random.fold_in(key, steps + done),
-                        clouds[:cfg.batch_size])
+                viz_batch = viz_batch_fn(
+                    jax.random.fold_in(key, steps + done),
+                    clouds[:cfg.batch_size])
                 self._viz_train(state, viz_batch, pretrain, done)
                 self._viz_val(state, viz_batch, pretrain, done)
         if not losses:   # resumed at/after the target step: nothing to do

@@ -156,3 +156,51 @@ class TestChamfer:
         g = jax.grad(f)(a)
         assert np.all(np.isfinite(np.asarray(g)))
         assert float(jnp.max(jnp.abs(g))) > 0
+
+
+class TestTournamentArgReduce:
+    """ops/lanered.py tournament arg-reductions vs jnp (used inside the
+    FPS and fused-SG Pallas kernels' per-iteration selection)."""
+
+    @pytest.mark.parametrize("n", [1024, 512, 256, 128, 96])
+    def test_argmin_matches(self, n):
+        from puzzlenet_tpu.ops.lanered import tournament_argmin
+        rng = np.random.default_rng(0)
+        v = jnp.asarray(rng.standard_normal((64, n)), jnp.float32)
+        got = np.asarray(tournament_argmin(v))[:, 0]
+        np.testing.assert_array_equal(got, np.argmin(np.asarray(v), axis=1))
+
+    @pytest.mark.parametrize("n", [1024, 512, 128])
+    def test_argmax_matches(self, n):
+        from puzzlenet_tpu.ops.lanered import tournament_argmax
+        rng = np.random.default_rng(1)
+        v = jnp.asarray(rng.standard_normal((32, n)), jnp.float32)
+        got = np.asarray(tournament_argmax(v))[:, 0]
+        np.testing.assert_array_equal(got, np.argmax(np.asarray(v), axis=1))
+
+    def test_tie_selects_equal_value(self):
+        """On exact ties the tournament may pick a different index than
+        jnp.argmin, but always one holding the minimum value."""
+        from puzzlenet_tpu.ops.lanered import tournament_argmin
+        v = np.ones((8, 1024), np.float32)
+        v[:, 7] = -3.0
+        v[:, 700] = -3.0
+        idx = np.asarray(tournament_argmin(jnp.asarray(v)))[:, 0]
+        assert np.all(np.isin(idx, [7, 700]))
+
+    def test_iterative_masking_chain(self):
+        """32-step argmin+mask chain (the SG kernel's selection loop)
+        recovers the exact sorted top-32 set."""
+        from puzzlenet_tpu.ops.lanered import tournament_argmin
+        rng = np.random.default_rng(2)
+        v = rng.standard_normal((16, 512)).astype(np.float32)
+        d = jnp.asarray(v)
+        got = []
+        for _ in range(32):
+            sel = tournament_argmin(d)
+            got.append(np.asarray(sel)[:, 0])
+            lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+            d = jnp.where(lane == sel, jnp.inf, d)
+        got = np.stack(got, 1)
+        want = np.argsort(v, axis=1)[:, :32]
+        np.testing.assert_array_equal(np.sort(got, 1), np.sort(want, 1))
