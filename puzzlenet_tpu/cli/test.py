@@ -30,6 +30,9 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--step", type=int, default=None,
                    help="checkpoint step (default: latest)")
+    p.add_argument("--pretrain", action="store_true",
+                   help="evaluate a pretrain-phase checkpoint through the "
+                        "pose-only predict6 path (model5_b.py:1178-1181)")
     ns = p.parse_args(argv)
 
     cfg = Config.load(ns.run_dir)
@@ -51,7 +54,8 @@ def main(argv=None):
 
     result = evaluate(trainer.model, state.params, state.batch_stats,
                       test_ds, output_path=ns.run_dir,
-                      batch_size=ns.batch_size, progress=True)
+                      batch_size=ns.batch_size, progress=True,
+                      pretrain=ns.pretrain)
     for k, v in result.items():
         print(f"{k:>10}: {v}")
     return result

@@ -135,6 +135,11 @@ def earth_mover_distance(xyz1, xyz2, transpose=False, backend="auto"):
     API parity with PyTorchEMD/emd.py:24-45: accepts [n, 3]/[B, n, 3] (and
     [B, 3, n] with ``transpose=True``), returns cost [B]. ``backend`` selects
     'lax' (this file), 'pallas' (fused TPU kernel), or 'auto'.
+
+    NOTE: the reference extension defaults ``transpose=True``
+    (PyTorchEMD/emd.py:24) but every reference call site passes
+    transpose=False, so this wrapper defaults False — pass it explicitly
+    when porting code that relied on the extension's default.
     """
     if xyz1.ndim == 2:
         xyz1 = xyz1[None]

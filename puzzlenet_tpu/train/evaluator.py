@@ -29,15 +29,30 @@ METRIC_NAMES = ["r_mse", "r_mae", "t_mse", "t_mae", "r_iso", "t_iso",
                 "fpc_iou", "mrpc_iou", "cd_fpcb", "cd_rpcb"]
 
 
-@functools.partial(jax.jit, static_argnames=("model",))
-def test_step_metrics(model, params, batch_stats, batch: Batch):
-    """One test batch -> the 10 metrics (scalars, batch-averaged)."""
+@functools.partial(jax.jit, static_argnames=("model", "pretrain"))
+def test_step_metrics(model, params, batch_stats, batch: Batch,
+                      pretrain=False):
+    """One test batch -> the 10 metrics (scalars, batch-averaged).
+
+    ``pretrain=True`` evaluates a pretrain-phase checkpoint through the
+    pose-only predict6 path (model5_b.py:1178-1181): the 6 pose metrics
+    are real, the boundary metrics are emitted as NaN placeholders so the
+    metrics.txt row keeps its 10-column shape.
+    """
     variables = {"params": params, "batch_stats": batch_stats}
-    out = model.apply(variables, batch.fpc, batch.mrpc, train=False)
+    out = model.apply(variables, batch.fpc, batch.mrpc, train=False,
+                      pretrain=pretrain)
     mat = se3.exp(out.twist)
     R, t = mat[:, :3, :3], mat[:, :3, 3]
     r_mse, r_mae, t_mse, t_mae, r_iso, t_iso = M.compute_pose_metrics(
         R, t, batch.igt)
+
+    if pretrain:
+        nan = jnp.full((), jnp.nan)
+        return jnp.stack([
+            jnp.mean(r_mse), jnp.mean(r_mae), jnp.mean(t_mse),
+            jnp.mean(t_mae), jnp.mean(r_iso), jnp.mean(t_iso),
+            nan, nan, nan, nan])
 
     # boundary IoU @ top-128 (model5_b.py:1323-1347)
     logits_f = jnp.swapaxes(out.fpcb_logits, 1, 2)
@@ -70,9 +85,10 @@ def test_step_metrics(model, params, batch_stats, batch: Batch):
 
 
 def evaluate(model, params, batch_stats, dataset, output_path=None,
-             batch_size=1, num_workers=4, progress=False):
+             batch_size=1, num_workers=4, progress=False, pretrain=False):
     """Full test loop -> dict of the 10 mean metrics; writes metrics.txt
-    when ``output_path`` is given (format of model5_b.py:1373-1382)."""
+    when ``output_path`` is given (format of model5_b.py:1373-1382).
+    ``pretrain`` evaluates through the pose-only predict6 path."""
     from .loader import Loader
 
     loader = Loader(dataset, batch_size, shuffle=False, drop_last=False,
@@ -81,7 +97,8 @@ def evaluate(model, params, batch_stats, dataset, output_path=None,
     for arrays in loader:
         batch = Batch(*[np.asarray(a, np.float32) for a in arrays[:8]])
         rows.append(np.asarray(
-            test_step_metrics(model, params, batch_stats, batch)))
+            test_step_metrics(model, params, batch_stats, batch,
+                              pretrain=pretrain)))
         if progress and len(rows) % 20 == 0:
             print(f"  eval batch {len(rows)}/{len(loader)}")
     mean = np.stack(rows).mean(axis=0)

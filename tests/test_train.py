@@ -265,3 +265,19 @@ class TestLoader:
         for bt, bp in zip(lt, lp):   # lp still at epoch 3
             np.testing.assert_array_equal(bt[0], bp[0])
         lp.close()
+
+
+class TestEvaluatorPretrain:
+    def test_pretrain_metrics_pose_only(self, batch, model_out):
+        """evaluate(pretrain=True) runs the predict6 path: real pose
+        metrics, NaN boundary placeholders (model5_b.py:1178-1181)."""
+        from puzzlenet_tpu.train.evaluator import test_step_metrics
+        model, variables, _ = model_out
+        row = np.asarray(test_step_metrics(
+            model, variables["params"], variables["batch_stats"], batch,
+            pretrain=True))
+        assert np.all(np.isfinite(row[:6]))
+        assert np.all(np.isnan(row[6:]))
+        full = np.asarray(test_step_metrics(
+            model, variables["params"], variables["batch_stats"], batch))
+        assert np.all(np.isfinite(full))
