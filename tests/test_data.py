@@ -432,3 +432,46 @@ class TestRealDataPaths:
         assert len(item) == 8
         assert item[0].shape == (1024, 3)
         assert np.isfinite(item[1]).all()
+
+
+class TestMakeDatasetTool:
+    def test_mesh_dir_to_registry_roundtrip(self, tmp_path, monkeypatch):
+        """tools/make_dataset.py replaces the reference's manual
+        CloudCompare preprocessing (README.md:35-46): meshes -> npy object
+        arrays the category registry loads as real payloads."""
+        import subprocess, sys, os
+        mesh_dir = tmp_path / "meshes"
+        mesh_dir.mkdir()
+        # three unit-cube OFF meshes (slightly scaled apart)
+        for i in range(3):
+            s = 1.0 + 0.1 * i
+            v = [(x * s, y * s, z * s) for x in (0, 1) for y in (0, 1)
+                 for z in (0, 1)]
+            faces = [(0, 1, 3), (0, 3, 2), (4, 6, 7), (4, 7, 5),
+                     (0, 4, 5), (0, 5, 1), (2, 3, 7), (2, 7, 6),
+                     (0, 2, 6), (0, 6, 4), (1, 5, 7), (1, 7, 3)]
+            with open(mesh_dir / f"cube{i}.off", "w") as f:
+                f.write(f"OFF\n{len(v)} {len(faces)} 0\n")
+                for p in v:
+                    f.write(f"{p[0]} {p[1]} {p[2]}\n")
+                for fc in faces:
+                    f.write(f"3 {fc[0]} {fc[1]} {fc[2]}\n")
+        out = tmp_path / "data" / "np_vase_all_11000"
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "make_dataset.py"),
+             "--mesh_dir", str(mesh_dir), "--out", str(out),
+             "--n_points", "500", "--test_frac", "0.34"],
+            capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        train = np.load(str(out) + "_train_2.npy", allow_pickle=True)
+        assert len(train) == 2 and train[0].shape == (500, 3)
+        # unit-sphere normalization
+        assert np.linalg.norm(train[0], axis=1).max() <= 1.0 + 1e-5
+
+        # the registry picks the payloads up as the real (non-synthetic)
+        # vaser data
+        monkeypatch.setenv("PUZZLENET_DATA_DIR", str(tmp_path / "data"))
+        from puzzlenet_tpu.data.registry import category_clouds
+        clouds = category_clouds("vaser", split="train")
+        assert clouds.shape[0] == 2 and clouds.shape[2] == 3
