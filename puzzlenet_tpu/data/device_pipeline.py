@@ -135,6 +135,18 @@ def _masked_fps_points(xyz, mask, npoint):
     return jnp.take_along_axis(xyz, idx[..., None], axis=1)
 
 
+def _masked_fps_multi(xyz, masks, npoint):
+    """Run _masked_fps_points for several mask sets in ONE kernel call by
+    stacking them on the batch axis (each piece side is a grid row, so
+    stacking k mask sets costs k*B grid rows in the same dispatch)."""
+    k = len(masks)
+    big = jnp.concatenate([xyz] * k, axis=0)
+    mk = jnp.concatenate(masks, axis=0)
+    pts = _masked_fps_points(big, mk, npoint)
+    B = xyz.shape[0]
+    return tuple(pts[i * B:(i + 1) * B] for i in range(k))
+
+
 def _twice_masks(ks, cloud, cut, npoint):
     """split_twice mask algebra (dataset.py:1203-1354 semantics, see
     datasets.py::_getitem_twice for the host twin): returns
@@ -191,8 +203,7 @@ def make_batch(key, clouds, npoint=NPOINT, boundary_k=128, mag=0.8,
     if not split_twice:
         up_mask = jax.vmap(
             lambda c, ks: _partition(ks[0], c, cut, npoint)[0])(clouds, keys)
-        up = _masked_fps_points(clouds, up_mask, npoint)
-        down = _masked_fps_points(clouds, ~up_mask, npoint)
+        up, down = _masked_fps_multi(clouds, [up_mask, ~up_mask], npoint)
     else:
         def per_cloud_masks(cloud, ks):
             moved_m, fixed_m, need_check, use_single = _twice_masks(
@@ -204,14 +215,11 @@ def make_batch(key, clouds, npoint=NPOINT, boundary_k=128, mag=0.8,
 
         moved_m, fixed_m, single_up, need_check = jax.vmap(per_cloud_masks)(
             clouds, keys)
-        up = _masked_fps_points(clouds, moved_m, npoint)
-        down = _masked_fps_points(clouds, fixed_m, npoint)
-
-        # se == 1 boundary-proximity rejection (datasets.py:154-157,
-        # dataset.py:1268-1281): if the pieces' boundaries are farther than
-        # 0.015 mean-chamfer, replace with the single-cut pair
-        s_up = _masked_fps_points(clouds, single_up, npoint)
-        s_down = _masked_fps_points(clouds, ~single_up, npoint)
+        # se == 1 boundary-proximity rejection below (datasets.py:154-157,
+        # dataset.py:1268-1281) needs the single-cut pair too: all four
+        # piece sides sample in one stacked kernel call
+        up, down, s_up, s_down = _masked_fps_multi(
+            clouds, [moved_m, fixed_m, single_up, ~single_up], npoint)
         fb, rb, _, _ = get_boundary(down, up, boundary_k)
         d = jnp.sum((fb[:, :, None] - rb[:, None]) ** 2, -1)   # [B, k, k]
         cham = d.min(1).mean(1) + d.min(2).mean(1)
