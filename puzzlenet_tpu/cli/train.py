@@ -16,6 +16,8 @@ from ..train.trainer import Trainer
 
 def main(argv=None):
     cfg = parse_args(argv)
+    from ..core.sharding import maybe_initialize_distributed
+    maybe_initialize_distributed(cfg)
     print("************************************")
     print("     ", cfg.output_path)
     print("************************************")

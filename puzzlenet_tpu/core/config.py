@@ -60,6 +60,9 @@ class Config:
     resume: Optional[str] = None             # checkpoint dir to resume from
     mesh_data: int = -1                      # -1: all devices on data axis
     mesh_model: int = 1                      # tensor-parallel axis size
+    multihost: bool = False                  # jax.distributed.initialize
+                                             # (DCN pod scale-out; see
+                                             # core/sharding.py)
     profile_dir: Optional[str] = None        # jax.profiler trace output
     debug_nans: bool = False
     asymmetric_global_quirk: bool = False    # reproduce model5_b.py:741

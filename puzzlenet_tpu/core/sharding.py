@@ -14,9 +14,49 @@ TPU-native design scales over an ICI mesh from day one:
 Works identically on 1 real chip (1x1 mesh) and N virtual CPU devices.
 """
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_initialize_distributed(cfg=None):
+    """Multi-host (DCN) bootstrap: call ``jax.distributed.initialize`` when
+    requested, before any backend touch.
+
+    Triggers: ``--multihost`` flag, or standard cluster env vars
+    (``JAX_COORDINATOR_ADDRESS`` / ``COORDINATOR_ADDRESS``). On TPU pods
+    ``initialize()`` auto-discovers coordinator/process ids from the
+    metadata server; elsewhere the env vars supply them. After this,
+    ``jax.devices()`` spans every host, so ``make_mesh`` builds one global
+    mesh and jit inserts DCN collectives where shardings demand them.
+
+    The device-data training path composes with this for free: batches are
+    generated on device *inside* the step jit from a replicated cloud
+    stack and the (replicated) PRNG key, so there is no per-host input
+    pipeline to shard. Host-loader paths feed per-process batches and
+    would need jax.make_array_from_process_local_data; device_data=True
+    is the supported multi-host mode.
+
+    Returns True if distributed was initialized.
+    """
+    want = (cfg is not None and getattr(cfg, "multihost", False)) or \
+        os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+        os.environ.get("COORDINATOR_ADDRESS")
+    if not want:
+        return False
+    kwargs = {}
+    addr = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS"))
+    if addr:
+        kwargs["coordinator_address"] = addr
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
+    return True
 
 
 def make_mesh(data=-1, model=1, devices=None, batch_size=None):

@@ -58,3 +58,83 @@ def tournament_argmin(v, g_max=8):
 def tournament_argmax(v, g_max=8):
     """[rows, n] -> [rows, 1] int32 argmax along lanes (tournament)."""
     return _tournament(v, largest=True, g_max=g_max)
+
+
+# ---- sorted-column top-k ---------------------------------------------------
+#
+# The fused set-abstraction kernel needs the SET of each row's k smallest
+# distances (neighbor order is irrelevant: the stage ends in a max over
+# neighbors, and the backward routes by the indices the forward saved).
+# Extracting them with k tournament-argmin rounds pays, per round, the
+# cross-chunk min scan AND a full [rows, n] masking pass. This form does the
+# cross-chunk work ONCE: bitcast the (non-negative) distances to int32 —
+# monotone for f32 >= 0 — pack the chunk id into the low bits, and sort each
+# lane's g-chunk column with a fixed sorting network. Extraction then runs on
+# the [rows, L] head row only: argmin over lanes, read the packed chunk id at
+# the winning lane, and shift that lane's sorted column up by one. Per round
+# that is one narrow arg-reduction plus ~g+4 elementwise ops on 1/g of the
+# tile, with no full-tile pass at all.
+#
+# Packing the chunk id clears the low log2(g) mantissa bits (<= 3): distances
+# within 8 ulps of each other may swap selection order. Like the tournament
+# tie-break (above), this is benign here: such near-ties on float point
+# clouds are duplicated or numerically-coincident points whose gathered
+# features agree to the same precision.
+
+_NETWORKS = {
+    2: [(0, 1)],
+    4: [(0, 1), (2, 3), (0, 2), (1, 3), (1, 2)],
+    # optimal 19-comparator network for 8 inputs (Knuth TAOCP 5.3.4)
+    8: [(0, 1), (2, 3), (4, 5), (6, 7),
+        (0, 2), (1, 3), (4, 6), (5, 7),
+        (1, 2), (5, 6), (0, 4), (3, 7),
+        (1, 5), (2, 6),
+        (1, 4), (3, 6),
+        (2, 4), (3, 5),
+        (3, 4)],
+}
+
+_SENTINEL = 0x7FFFFFFF   # int32 max; above any packed finite f32 >= 0
+
+
+def sorted_topk_supported(n, g_max=8):
+    g = min(g_max, n // 128)
+    return g in _NETWORKS and n % g == 0
+
+
+def sorted_topk(d, k, g_max=8, unroll=1):
+    """[rows, n] f32 (>= 0, finite) -> [rows, k] int32 indices of the k
+    smallest per row, as an unordered set (tie/ulp caveats above). Pure
+    jnp: usable inside Pallas kernels and as a plain op."""
+    rows, n = d.shape
+    g = min(g_max, n // 128)
+    assert sorted_topk_supported(n, g_max), (n, g_max)
+    L = n // g
+    u = lax.bitcast_convert_type(d, jnp.int32)
+    cols = [(u[:, gi * L:(gi + 1) * L] & ~jnp.int32(g - 1)) | gi
+            for gi in range(g)]
+    for a, b in _NETWORKS[g]:
+        lo = jnp.minimum(cols[a], cols[b])
+        hi = jnp.maximum(cols[a], cols[b])
+        cols[a], cols[b] = lo, hi
+
+    lanes = lax.broadcasted_iota(jnp.int32, (rows, L), 1)
+    kcols = lax.broadcasted_iota(jnp.int32, (rows, k), 1)
+
+    def body(i, carry):
+        idx_acc = carry[-1]
+        cs = list(carry[:-1])
+        lidx = jnp.argmin(cs[0], axis=1).astype(jnp.int32)[:, None]
+        win = lanes == lidx
+        hwin = jnp.sum(jnp.where(win, cs[0], 0), axis=1, keepdims=True)
+        gidx = (hwin & (g - 1)) * L + lidx
+        idx_acc = jnp.where(kcols == i, gidx, idx_acc)
+        for j in range(g - 1):
+            cs[j] = jnp.where(win, cs[j + 1], cs[j])
+        cs[g - 1] = jnp.where(win, jnp.int32(_SENTINEL), cs[g - 1])
+        return (*cs, idx_acc)
+
+    out = lax.fori_loop(0, k, body,
+                        (*cols, jnp.zeros((rows, k), jnp.int32)),
+                        unroll=unroll)
+    return out[-1]

@@ -42,14 +42,16 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .lanered import tournament_argmin
+from .lanered import sorted_topk, sorted_topk_supported, tournament_argmin
 from .pointops import index_points, knn_indices
 
 _S_BLK = 256
+_SEL_UNROLL = 1      # unroll factor for the selection extraction loop
+_INTERPRET = False   # run the Pallas kernels in interpret mode (CPU tests)
 
 
 def pallas_supported():
-    return jax.default_backend() == "tpu"
+    return _INTERPRET or jax.default_backend() == "tpu"
 
 
 def _neighbor_block(k):
@@ -94,16 +96,22 @@ def _sg_kernel(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
     lane = lax.broadcasted_iota(jnp.int32, (s, n), 1)
     kcols = lax.broadcasted_iota(jnp.int32, (s, k), 1)
 
-    # phase A — selection only: k tournament-argmin + mask rounds
-    def sel_body(i, carry):
-        d, idx_acc = carry
-        sel = tournament_argmin(d)                               # [s, 1]
-        idx_acc = jnp.where(kcols == i, sel, idx_acc)
-        d = jnp.where(lane == sel, jnp.inf, d)
-        return d, idx_acc
+    # phase A — selection only. Preferred: one cross-chunk column sort +
+    # k cheap head-row extractions (ops/lanered.py sorted_topk). Fallback
+    # for lane counts the sorter can't chunk: k tournament-argmin + mask
+    # rounds over the full tile.
+    if sorted_topk_supported(n):
+        idx_acc = sorted_topk(d0, k, unroll=_SEL_UNROLL)
+    else:
+        def sel_body(i, carry):
+            d, idx_acc = carry
+            sel = tournament_argmin(d)                           # [s, 1]
+            idx_acc = jnp.where(kcols == i, sel, idx_acc)
+            d = jnp.where(lane == sel, jnp.inf, d)
+            return d, idx_acc
 
-    _, idx_acc = lax.fori_loop(
-        0, k, sel_body, (d0, jnp.zeros((s, k), jnp.int32)))
+        _, idx_acc = lax.fori_loop(
+            0, k, sel_body, (d0, jnp.zeros((s, k), jnp.int32)))
     idx_ref[0] = idx_acc
 
     # phase B — gather + MLP + max over neighbor blocks of kb. A fori_loop
@@ -210,6 +218,7 @@ def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k, with_masks):
         out_shape=tuple(out_shape),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_INTERPRET,
     )(new_xyz, xyz, feats, w1, b1r, w2, b2r)
     return res
 
@@ -376,6 +385,7 @@ def _fused_backward(new_xyz, xyz, feats, w1, b1, w2, b2, idx, amax,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_INTERPRET,
     )(new_xyz, xyz, feats, w1, b1.reshape(1, H), w2, b2.reshape(1, H2),
       idx, amax, m1, m2, g)
     return (dq, dcat[:, :, :3], dcat[:, :, 3:], dw1,

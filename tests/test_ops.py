@@ -204,3 +204,65 @@ class TestTournamentArgReduce:
         got = np.stack(got, 1)
         want = np.argsort(v, axis=1)[:, :32]
         np.testing.assert_array_equal(np.sort(got, 1), np.sort(want, 1))
+
+
+class TestSortedTopk:
+    """ops/lanered.py sorted-column top-k (the fused-SG kernel's selection
+    phase): set-equality vs numpy argsort on distance-like inputs."""
+
+    def test_sorting_networks_zero_one_principle(self):
+        from puzzlenet_tpu.ops.lanered import _NETWORKS
+        for g, net in _NETWORKS.items():
+            for bits in range(2 ** g):
+                v = [(bits >> i) & 1 for i in range(g)]
+                for a, b in net:
+                    if v[a] > v[b]:
+                        v[a], v[b] = v[b], v[a]
+                assert v == sorted(v), (g, bits)
+
+    @pytest.mark.parametrize("n,k", [(1024, 32), (512, 32), (256, 8),
+                                     (1024, 1)])
+    def test_matches_argsort_set(self, n, k):
+        from puzzlenet_tpu.ops.lanered import (sorted_topk,
+                                               sorted_topk_supported)
+        assert sorted_topk_supported(n)
+        rng = np.random.default_rng(3)
+        v = (rng.standard_normal((48, n)) ** 2).astype(np.float32)
+        got = np.sort(np.asarray(sorted_topk(jnp.asarray(v), k)), axis=1)
+        want = np.sort(np.argsort(v, axis=1)[:, :k], axis=1)
+        np.testing.assert_array_equal(got, want)
+
+    def test_column_exhaustion(self):
+        """All k winners concentrated in one lane's cross-chunk column:
+        the column drains to the sentinel and extraction proceeds to the
+        next-best lanes without repeats."""
+        from puzzlenet_tpu.ops.lanered import sorted_topk
+        n, g = 1024, 8
+        L = n // g
+        v = np.full((4, n), 1e6, np.float32)
+        # lane 5 of every chunk: tiny values (8 of them); rest of top-32
+        # spread over chunk 0
+        for gi in range(g):
+            v[:, gi * L + 5] = 1.0 + gi
+        v[:, 32:56] = 100.0 + np.arange(24)
+        got = np.sort(np.asarray(sorted_topk(jnp.asarray(v), 32)), axis=1)
+        want = np.sort(np.argsort(v, axis=1)[:, :32], axis=1)
+        np.testing.assert_array_equal(got, want)
+
+    def test_in_kernel_matches_unfused_knn(self):
+        """End to end through the SG selection contract: sorted_topk on a
+        squared-distance matrix selects the same neighbor set as
+        knn_indices."""
+        from puzzlenet_tpu.ops.lanered import sorted_topk
+        from puzzlenet_tpu.ops.pointops import knn_indices, square_distance
+        rng = np.random.default_rng(4)
+        q = jnp.asarray(rng.normal(size=(2, 64, 3)).astype(np.float32))
+        xyz = jnp.asarray(rng.normal(size=(2, 512, 3)).astype(np.float32))
+        want = np.sort(np.asarray(knn_indices(q, xyz, 32)), axis=-1)
+        # sorted_topk's int32-bitcast ordering requires d >= 0; the matmul
+        # expansion can round slightly negative (the SG kernel's in-VMEM
+        # distances are computed exactly and cannot)
+        d = jnp.maximum(square_distance(q, xyz), 0.0)
+        got = np.stack([np.asarray(sorted_topk(d[b], 32))
+                        for b in range(2)])
+        np.testing.assert_array_equal(np.sort(got, axis=-1), want)

@@ -1,10 +1,13 @@
 """Fused set-abstraction: CPU fallback correctness (value + gradient vs a
-directly-differentiated unfused implementation)."""
+directly-differentiated unfused implementation), plus interpret-mode runs
+of the actual Pallas kernels."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
+import puzzlenet_tpu.ops.sg_pallas as sg
 from puzzlenet_tpu.ops import knn_indices
 from puzzlenet_tpu.ops.sg_pallas import (_mlp_max_from_idx,
                                          fused_set_abstraction)
@@ -60,3 +63,68 @@ class TestFusedSetAbstraction:
         out = jax.jit(lambda *a: fused_set_abstraction(*a, K))(*args)
         assert out.shape == (B, S, 16)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.fixture
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(sg, "_INTERPRET", True)
+
+
+class TestKernelInterpret:
+    """Run the real Pallas forward/backward kernels in interpret mode on
+    CPU at a kernel-eligible shape (N >= 256 so the sorted-column top-k
+    path is taken) and compare against the unfused math. bf16 gather/MLP
+    inside the kernel vs f32 outside bounds the tolerance."""
+
+    def _kargs(self, seed=0):
+        rng = np.random.default_rng(seed)
+        b, s, n, c = 1, 256, 512, 8
+        xyz = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))
+        q = xyz[:, :s]
+        feats = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+        w1 = jnp.asarray(rng.normal(size=(c + 3, 16)).astype(np.float32)
+                         * 0.3)
+        b1 = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.1)
+        w2 = jnp.asarray(rng.normal(size=(16, 16)).astype(np.float32)
+                         * 0.3)
+        b2 = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.1)
+        return q, xyz, feats, w1, b1, w2, b2
+
+    def test_forward_kernel(self, interpret_mode):
+        args = self._kargs()
+        got = fused_set_abstraction(*args, 32)
+        want = _direct_k(*args, 32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_backward_kernel(self, interpret_mode):
+        """Gradients vs a bf16-matched direct oracle: rounding the
+        gathered inputs to bf16 exactly as the kernel does makes the
+        relu gates and max winners agree, so routing-sensitive gradient
+        rows line up instead of flipping on near-ties."""
+        args = self._kargs(1)
+
+        def bf16_direct(q, xyz, feats, w1, b1, w2, b2):
+            xb = xyz.astype(jnp.bfloat16).astype(jnp.float32)
+            fb = feats.astype(jnp.bfloat16).astype(jnp.float32)
+            idx = knn_indices(q, xyz, 32)
+            return _mlp_max_from_idx(q, xb, fb, w1, b1, w2, b2, idx)
+
+        def loss(impl, w1, feats):
+            q, xyz, _, _, b1, w2, b2 = args
+            return jnp.sum(impl(q, xyz, feats, w1, b1, w2, b2) ** 2)
+
+        fused = lambda *a: fused_set_abstraction(*a, 32)
+        g1a, g2a = jax.grad(lambda w, f: loss(fused, w, f),
+                            argnums=(0, 1))(args[3], args[2])
+        g1b, g2b = jax.grad(lambda w, f: loss(bf16_direct, w, f),
+                            argnums=(0, 1))(args[3], args[2])
+        np.testing.assert_allclose(np.asarray(g1a), np.asarray(g1b),
+                                   rtol=1e-2, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(g2a), np.asarray(g2b),
+                                   rtol=1e-2, atol=1e-2)
+
+
+def _direct_k(q, xyz, feats, w1, b1, w2, b2, k):
+    idx = knn_indices(q, xyz, k)
+    return _mlp_max_from_idx(q, xyz, feats, w1, b1, w2, b2, idx)
