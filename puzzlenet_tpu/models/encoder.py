@@ -130,12 +130,17 @@ class PCTEncoder(nn.Module):
             f1f = fused_set_abstraction(x1, xyz, x_feature, w3, b3, w4, b4,
                                         self.knn)         # [B, 512, 128]
 
-        # stage 2: FPS 256 + kNN 32, shared MLP(131->256->256), max
+        # stage 2: FPS 256 + kNN 32, shared MLP(131->256->256), max.
+        # FPS orderings are prefix-stable: the greedy argmax chain over the
+        # stage-1 subset, seeded at the same index 0, reproduces the
+        # stage-1 ordering step for step (each stage-1 winner is a member
+        # of the subset and keeps winning over any subset of the original
+        # candidates). So FPS(x1, 256) == x1[:, :256] exactly (tie order
+        # aside) and the second FPS kernel call is free.
         w5, b5, w6, b6 = sg_params("mlp56", self.gs2_feature_size + 3, d2,
                                    d2)
         with jax.named_scope("sg_stage2"):
-            x2 = index_points(x1,
-                              farthest_point_sample(x1, self.sg2_points))
+            x2 = x1[:, :self.sg2_points]
             f2f = fused_set_abstraction(x2, x1, f1f, w5, b5, w6, b6,
                                         self.knn)         # [B, 256, 256]
 

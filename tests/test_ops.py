@@ -266,3 +266,19 @@ class TestSortedTopk:
         got = np.stack([np.asarray(sorted_topk(d[b], 32))
                         for b in range(2)])
         np.testing.assert_array_equal(np.sort(got, axis=-1), want)
+
+
+class TestFPSPrefixStability:
+    """models/encoder.py stage 2 relies on FPS prefix-stability:
+    re-running FPS over the FPS-ordered subset (same index-0 seed)
+    reproduces the identity ordering, so x2 = x1[:, :256]."""
+
+    def test_fps_of_fps_is_prefix(self):
+        from puzzlenet_tpu.ops import farthest_point_sample, index_points
+        rng = np.random.default_rng(7)
+        xyz = jnp.asarray(rng.normal(size=(3, 256, 3)).astype(np.float32))
+        idx1 = farthest_point_sample(xyz, 128)
+        x1 = index_points(xyz, idx1)
+        idx2 = np.asarray(farthest_point_sample(x1, 64))
+        np.testing.assert_array_equal(
+            idx2, np.broadcast_to(np.arange(64), (3, 64)))
