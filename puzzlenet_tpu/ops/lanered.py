@@ -94,7 +94,10 @@ _NETWORKS = {
         (3, 4)],
 }
 
-_SENTINEL = 0x7FFFFFFF   # int32 max; above any packed finite f32 >= 0
+# FLT_MAX: above every packed value (packed values are real squared
+# distances with perturbed low bits), and — unlike int32 max, whose bit
+# pattern is a NaN — still a valid float for Mosaic's f32-only argmin.
+_SENTINEL = 3.4028235e38
 
 
 def sorted_topk_supported(n, g_max=8):
@@ -105,14 +108,29 @@ def sorted_topk_supported(n, g_max=8):
 def sorted_topk(d, k, g_max=8, unroll=1):
     """[rows, n] f32 (>= 0, finite) -> [rows, k] int32 indices of the k
     smallest per row, as an unordered set (tie/ulp caveats above). Pure
-    jnp: usable inside Pallas kernels and as a plain op."""
+    jnp: usable inside Pallas kernels and as a plain op.
+
+    Dtype choreography for Mosaic: the chunk id is packed in int32 (bit
+    ops), but the sorted columns are carried bitcast back to f32 — for
+    non-negative floats the bit patterns order identically, f32 min/max
+    return operand bits untouched, and Mosaic's arg-reduction lowering is
+    f32-only. Two flush-to-zero hazards around d == 0 (every centroid is
+    its own nearest neighbor, so a zero distance occurs in every row):
+    the packed bits of a zero distance are a DENORMAL, which the TPU VPU
+    flushes to 0.0 — erasing the chunk id — so after packing, every value
+    is shifted up one exponent by an int32 add of 1 << 23 (order-
+    preserving on positive-float bit patterns; requires d < ~1.7e38);
+    and the chunk id is read back out of the winning lane with an int32
+    one-hot sum rather than a float one for the same reason."""
     rows, n = d.shape
     g = min(g_max, n // 128)
     assert sorted_topk_supported(n, g_max), (n, g_max)
     L = n // g
     u = lax.bitcast_convert_type(d, jnp.int32)
-    cols = [(u[:, gi * L:(gi + 1) * L] & ~jnp.int32(g - 1)) | gi
-            for gi in range(g)]
+    cols = [lax.bitcast_convert_type(
+        ((u[:, gi * L:(gi + 1) * L] & ~jnp.int32(g - 1)) | gi)
+        + jnp.int32(1 << 23), jnp.float32)
+        for gi in range(g)]
     for a, b in _NETWORKS[g]:
         lo = jnp.minimum(cols[a], cols[b])
         hi = jnp.maximum(cols[a], cols[b])
@@ -126,12 +144,13 @@ def sorted_topk(d, k, g_max=8, unroll=1):
         cs = list(carry[:-1])
         lidx = jnp.argmin(cs[0], axis=1).astype(jnp.int32)[:, None]
         win = lanes == lidx
-        hwin = jnp.sum(jnp.where(win, cs[0], 0), axis=1, keepdims=True)
+        hbits = lax.bitcast_convert_type(cs[0], jnp.int32)
+        hwin = jnp.sum(jnp.where(win, hbits, 0), axis=1, keepdims=True)
         gidx = (hwin & (g - 1)) * L + lidx
         idx_acc = jnp.where(kcols == i, gidx, idx_acc)
         for j in range(g - 1):
             cs[j] = jnp.where(win, cs[j + 1], cs[j])
-        cs[g - 1] = jnp.where(win, jnp.int32(_SENTINEL), cs[g - 1])
+        cs[g - 1] = jnp.where(win, jnp.float32(_SENTINEL), cs[g - 1])
         return (*cs, idx_acc)
 
     out = lax.fori_loop(0, k, body,

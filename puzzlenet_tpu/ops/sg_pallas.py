@@ -46,7 +46,9 @@ from .lanered import sorted_topk, sorted_topk_supported, tournament_argmin
 from .pointops import index_points, knn_indices
 
 _S_BLK = 256
-_SEL_UNROLL = 1      # unroll factor for the selection extraction loop
+_SEL_UNROLL = None   # selection extraction-loop unroll; None = full k
+                     # (Mosaic supports only 1 or full; full measured
+                     # ~20% faster on the stage-1 shape)
 _INTERPRET = False   # run the Pallas kernels in interpret mode (CPU tests)
 
 
@@ -101,7 +103,7 @@ def _sg_kernel(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
     # for lane counts the sorter can't chunk: k tournament-argmin + mask
     # rounds over the full tile.
     if sorted_topk_supported(n):
-        idx_acc = sorted_topk(d0, k, unroll=_SEL_UNROLL)
+        idx_acc = sorted_topk(d0, k, unroll=_SEL_UNROLL or k)
     else:
         def sel_body(i, carry):
             d, idx_acc = carry

@@ -216,6 +216,10 @@ class Trainer:
         else:
             mngr = self._ckpt()
         step = mngr.latest_step() if step is None else step
+        if step not in mngr.all_steps():
+            raise FileNotFoundError(
+                f"checkpoint step {step} not found; available: "
+                f"{mngr.all_steps()} (top-2-by-train_loss retention)")
         template = {"params": state.params,
                     "batch_stats": state.batch_stats,
                     "opt_state": state.opt_state, "step": state.step}
