@@ -31,6 +31,23 @@ def _vase(rng, n):
         + a[2] * 0.15 * np.sin(3 * np.pi * z + ph[2])
     r = np.clip(r, 0.08, 1.0)
     th = rng.uniform(0, 2 * np.pi, n)
+    # azimuthal asymmetry — a perfect surface of revolution makes the
+    # axial component of the assembly rotation unidentifiable (any
+    # near-axial cut admits a continuum of valid poses), which floors
+    # r_mae regardless of training. Low-order angular modes (lean +
+    # ellipticity) plus a localized spout/handle bump keep the shape
+    # vase-like while making the pose unique. Real vases (the
+    # reference's LFS payloads) are asymmetric the same way.
+    m1 = rng.uniform(0.08, 0.2)
+    m2 = rng.uniform(0.05, 0.15)
+    p1, p2 = rng.uniform(0, 2 * np.pi, 2)
+    ang = 1.0 + m1 * np.cos(th - p1) + m2 * np.cos(2 * th - p2)
+    tb = rng.uniform(0, 2 * np.pi)
+    zb = rng.uniform(0.25, 0.75)
+    dth = np.angle(np.exp(1j * (th - tb)))
+    bump = rng.uniform(0.15, 0.35) * np.exp(
+        -dth ** 2 / (2 * 0.35 ** 2) - (z - zb) ** 2 / (2 * 0.08 ** 2))
+    r = r * ang + bump
     pts = np.stack([r * np.cos(th), r * np.sin(th), 1.6 * (z - 0.5)], 1)
     return _unit_normalize(pts)
 
