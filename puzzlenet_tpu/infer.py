@@ -1,0 +1,163 @@
+"""Deployment inference API.
+
+The reference's only inference surface is test.py (checkpoint -> metrics);
+users who want predictions must drive the Lightning module by hand. This
+module packages the deployed forward path (predict5 semantics,
+model5_b.py:672-759) behind a warm serving session:
+
+  * one jit at a fixed serving batch size — partial batches are padded to
+    the compiled shape, oversized inputs are chunked, so the TPU never
+    recompiles after warmup;
+  * outputs decoded to what an application consumes: the 4x4 rigid
+    transform (se3.exp of the twist — maps mrpc back onto rpc), the
+    aligned moved piece, per-point boundary probabilities, and the top-k
+    boundary masks (model5_b.py:1323-1347 decoding);
+  * constructors for every checkpoint format in play: a training run dir
+    (orbax), raw param trees, or a reference PyTorch-Lightning .ckpt via
+    core/torch_compat.
+
+Multi-piece reassembly stays in assembly/greedy.py; ``Session.assemble``
+delegates to it with the session's weights.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import PuzzleNet
+from .semath import se3
+
+
+class Session:
+    """Warm inference session over a fixed [batch, n, 3] compiled shape."""
+
+    def __init__(self, params, batch_stats, num_points=1024, batch_size=64,
+                 asymmetric_global_quirk=False):
+        self.model = PuzzleNet(
+            num_points=num_points,
+            asymmetric_global_quirk=asymmetric_global_quirk)
+        self.variables = {"params": params, "batch_stats": batch_stats}
+        self.batch_size = int(batch_size)
+        self.num_points = int(num_points)
+
+        @jax.jit
+        def _forward(variables, fpc, mrpc):
+            out = self.model.apply(variables, fpc, mrpc, train=False)
+            mat = se3.exp(out.twist)
+            aligned = se3.transform_points(mat, mrpc)
+            probs_f = jax.nn.softmax(
+                jnp.swapaxes(out.fpcb_logits, 1, 2), axis=-1)[..., 1]
+            probs_m = jax.nn.softmax(
+                jnp.swapaxes(out.mrpcb_logits, 1, 2), axis=-1)[..., 1]
+            return out.twist, mat, aligned, probs_f, probs_m
+
+        self._forward = _forward
+
+    # -- constructors -----------------------------------------------------
+
+    @classmethod
+    def from_run(cls, run_dir, step=None, batch_size=64):
+        """Load a cli.train output dir (config.json + orbax checkpoints)."""
+        import os
+
+        from .core.config import Config
+        from .data.synthetic import synthetic_clouds
+        from .train.losses import Batch
+        from .train.trainer import Trainer
+
+        cfg = Config.load(run_dir)
+        cfg.output_path = run_dir
+        trainer = Trainer(cfg)
+        # template state from one tiny synthetic batch (shapes only)
+        cloud = synthetic_clouds("vase", 1, n_points=4 * cfg.num_points)[0]
+        pc = jnp.asarray(cloud[:cfg.num_points], jnp.float32)[None]
+        example = Batch(pc, pc, jnp.eye(4)[None], pc,
+                        pc[:, :128], pc[:, :128],
+                        jnp.zeros((1, cfg.num_points)),
+                        jnp.zeros((1, cfg.num_points)))
+        state = trainer.init_state(example)
+        state = trainer.restore_checkpoint(
+            state, os.path.join(run_dir, "checkpoints"), step=step)
+        return cls(state.params, state.batch_stats,
+                   num_points=cfg.num_points, batch_size=batch_size,
+                   asymmetric_global_quirk=cfg.asymmetric_global_quirk)
+
+    @classmethod
+    def from_reference_checkpoint(cls, path, num_points=1024, batch_size=64,
+                                  asymmetric_global_quirk=True):
+        """Load a reference PyTorch-Lightning .ckpt (core/torch_compat).
+
+        Defaults to the reference's asymmetric boundary-global quirk
+        (model5_b.py:741) so logits match the checkpoint's training."""
+        from .core.torch_compat import convert_lightning_checkpoint
+
+        params, stats, _ = convert_lightning_checkpoint(path)
+        return cls(params, stats, num_points=num_points,
+                   batch_size=batch_size,
+                   asymmetric_global_quirk=asymmetric_global_quirk)
+
+    # -- serving ----------------------------------------------------------
+
+    def predict(self, fpc, mrpc, boundary_k=128):
+        """fpc, mrpc: [B, n, 3] (any B >= 1) -> dict of numpy arrays:
+
+        twist [B,6], transform [B,4,4], mrpc_aligned [B,n,3],
+        fpc_boundary_prob / mrpc_boundary_prob [B,n],
+        fpc_boundary_mask / mrpc_boundary_mask [B,n] (0/1 @ top-k).
+        """
+        fpc = np.asarray(fpc, np.float32)
+        mrpc = np.asarray(mrpc, np.float32)
+        if fpc.ndim == 2:
+            fpc, mrpc = fpc[None], mrpc[None]
+        assert fpc.shape == mrpc.shape and fpc.shape[1] == self.num_points, (
+            fpc.shape, mrpc.shape, self.num_points)
+        B = fpc.shape[0]
+
+        outs = []
+        for lo in range(0, B, self.batch_size):
+            chunk_f = fpc[lo:lo + self.batch_size]
+            chunk_m = mrpc[lo:lo + self.batch_size]
+            n_real = len(chunk_f)
+            pad = self.batch_size - n_real
+            if pad:
+                chunk_f = np.concatenate(
+                    [chunk_f, np.repeat(chunk_f[-1:], pad, axis=0)])
+                chunk_m = np.concatenate(
+                    [chunk_m, np.repeat(chunk_m[-1:], pad, axis=0)])
+            res = self._forward(self.variables, jnp.asarray(chunk_f),
+                                jnp.asarray(chunk_m))
+            outs.append([np.asarray(r)[:n_real] for r in res])
+        twist, mat, aligned, pf, pm = (
+            np.concatenate([o[i] for o in outs]) for i in range(5))
+
+        def topk_mask(p):
+            mask = np.zeros_like(p)
+            top = np.argpartition(-p, boundary_k - 1, axis=1)[:, :boundary_k]
+            np.put_along_axis(mask, top, 1.0, axis=1)
+            return mask
+
+        return {
+            "twist": twist, "transform": mat, "mrpc_aligned": aligned,
+            "fpc_boundary_prob": pf, "mrpc_boundary_prob": pm,
+            "fpc_boundary_mask": topk_mask(pf),
+            "mrpc_boundary_mask": topk_mask(pm),
+        }
+
+    def assemble(self, pieces):
+        """Multi-piece greedy reassembly with this session's weights."""
+        from .assembly import greedy_assemble
+
+        return greedy_assemble(self.model, self.variables, pieces,
+                               num_points=self.num_points)
+
+
+@functools.lru_cache(maxsize=4)
+def _cached_session(run_dir, step, batch_size):
+    return Session.from_run(run_dir, step=step, batch_size=batch_size)
+
+
+def predict(run_dir, fpc, mrpc, step=None, batch_size=64):
+    """One-call convenience wrapper (sessions cached per run_dir)."""
+    return _cached_session(run_dir, step, batch_size).predict(fpc, mrpc)

@@ -1,0 +1,63 @@
+"""Serving API (puzzlenet_tpu/infer.py): warm session over a tiny CLI run
+dir — padding/chunking, decoded outputs, transform consistency."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    from puzzlenet_tpu.cli.train import main
+
+    out = str(tmp_path_factory.mktemp("infer") / "run")
+    main(["--dataset", "vaser", "--batch_size", "2", "--epochs", "1",
+          "--pretrain_epochs", "0", "--loss_mode", "0", "--synth_count",
+          "4", "--num_points", "256", "--num_workers", "0",
+          "--output_path", out, "--max_steps", "2"])
+    return out
+
+
+class TestSession:
+    def test_predict_contract(self, run_dir):
+        from puzzlenet_tpu.infer import Session
+
+        sess = Session.from_run(run_dir, batch_size=2)
+        assert sess.num_points == 256
+        rng = np.random.default_rng(0)
+        # B=3 with batch_size=2: one full chunk + one padded chunk
+        fpc = rng.normal(size=(3, 256, 3)).astype(np.float32)
+        mrpc = rng.normal(size=(3, 256, 3)).astype(np.float32)
+        out = sess.predict(fpc, mrpc, boundary_k=32)
+
+        assert out["twist"].shape == (3, 6)
+        assert out["transform"].shape == (3, 4, 4)
+        assert out["mrpc_aligned"].shape == (3, 256, 3)
+        for k in ("fpc_boundary_prob", "mrpc_boundary_prob"):
+            assert out[k].shape == (3, 256)
+            assert (out[k] >= 0).all() and (out[k] <= 1).all()
+        for k in ("fpc_boundary_mask", "mrpc_boundary_mask"):
+            assert out[k].sum(axis=1).tolist() == [32.0] * 3
+
+        # transform really is exp(twist) applied to mrpc
+        from puzzlenet_tpu.semath import se3
+        import jax.numpy as jnp
+        mat = np.asarray(se3.exp(jnp.asarray(out["twist"])))
+        np.testing.assert_allclose(mat, out["transform"], atol=1e-5)
+        want = mrpc @ mat[:, :3, :3].transpose(0, 2, 1) + mat[:, None, :3, 3]
+        np.testing.assert_allclose(out["mrpc_aligned"], want, atol=1e-4)
+
+        # padded-chunk results equal unpadded single-item results
+        single = sess.predict(fpc[2], mrpc[2])
+        np.testing.assert_allclose(single["twist"][0], out["twist"][2],
+                                   atol=1e-5)
+
+    def test_convenience_predict_cached(self, run_dir):
+        from puzzlenet_tpu import infer
+
+        rng = np.random.default_rng(1)
+        fpc = rng.normal(size=(1, 256, 3)).astype(np.float32)
+        out = infer.predict(run_dir, fpc, fpc, batch_size=2)
+        assert out["twist"].shape == (1, 6)
+        s1 = infer._cached_session(run_dir, None, 2)
+        s2 = infer._cached_session(run_dir, None, 2)
+        assert s1 is s2
