@@ -61,3 +61,27 @@ class TestSession:
         s1 = infer._cached_session(run_dir, None, 2)
         s2 = infer._cached_session(run_dir, None, 2)
         assert s1 is s2
+
+
+class TestExportTool:
+    def test_export_roundtrip(self, run_dir):
+        """tools/export_torch.py writes a reference-format .ckpt our own
+        reference-checkpoint converter restores bit-exactly."""
+        import jax
+
+        from puzzlenet_tpu.core.torch_compat import (
+            convert_lightning_checkpoint)
+        from puzzlenet_tpu.infer import Session
+        from tools.export_torch import main as export_main
+
+        out = export_main(["--run_dir", run_dir])
+        params, stats, hparams = convert_lightning_checkpoint(out)
+        sess = Session.from_run(run_dir, batch_size=1)
+        for a, b in zip(jax.tree_util.tree_leaves(sess.variables["params"]),
+                        jax.tree_util.tree_leaves(params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+                jax.tree_util.tree_leaves(sess.variables["batch_stats"]),
+                jax.tree_util.tree_leaves(stats)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert hparams["dataset"] == "vaser"
