@@ -3,19 +3,22 @@
 The reference README (README.md:14) and paper Fig. 1 describe multi-piece
 reassembly by iterating the pairwise network greedily — **no code for this
 exists in the reference repo** (SURVEY.md §0); this module implements the
-described behavior, TPU-style:
+described behavior, TPU-style, with COMPILE-STABLE shapes:
 
-per round, ALL ordered candidate pairs (fixed_i, moved_j) are scored in ONE
-batched jitted forward (the candidate axis is just the batch axis), the
-best-fitting pair is merged (moved piece transformed by exp(twist),
-concatenated, FPS'd back to the working resolution), and the loop repeats
-until a single piece remains.
+the piece stack lives in a fixed [K0, N, 3] device array with an active
+mask; every round scores ALL K0*(K0-1) ordered slot pairs in ONE batched
+jitted forward (inactive pairs are masked to +inf on device), and the merge
+(transform + concat + FPS back to N + slot update) is a second fixed-shape
+jit. Two compilations serve the entire K0 -> 1 loop — the pair axis never
+changes length, so no round ever recompiles (on a v5e a recompile costs
+~1-2 min vs ~10 ms of masked-pair compute).
 
 Pair score = symmetric chamfer between the two predicted top-128 boundary
 sets after applying the predicted transform (the quantity the reference's
 test_step evaluates per pair, model5_b.py:1349-1360) — lower is better.
 """
 
+import functools
 import itertools
 from typing import NamedTuple
 
@@ -54,10 +57,39 @@ def _pair_forward(model, variables, fpc, mrpc):
     return out.twist, score
 
 
-import functools
-
 _pair_forward_jit = functools.partial(
     jax.jit, static_argnames=("model",))(_pair_forward)
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _round_jit(model, variables, stack, active, idx_i, idx_j):
+    """One greedy round over the fixed slot-pair axis.
+
+    stack [K0, N, 3], active [K0] bool, idx_i/idx_j [P] int32 (the constant
+    ordered-pair tables). Returns (best pair position, its twist, its
+    score) — all device scalars; inactive pairs score +inf.
+    """
+    twists, scores = _pair_forward(model, variables,
+                                   stack[idx_i], stack[idx_j])
+    valid = active[idx_i] & active[idx_j]
+    scores = jnp.where(valid, scores, jnp.inf)
+    best = jnp.argmin(scores)
+    return best, twists[best], scores[best]
+
+
+@jax.jit
+def _merge_jit(stack, active, i, j, twist):
+    """Merge slot j onto slot i: transform by exp(twist), concatenate,
+    FPS back to N (static 2N -> N shapes), write into slot i, deactivate
+    slot j. i/j are traced scalars so one compilation serves every round.
+    """
+    mat = se3.exp(twist[None])[0]                          # [4, 4]
+    moved = se3.transform_points(mat[None], stack[j][None])[0]
+    merged = jnp.concatenate([stack[i], moved], axis=0)    # [2N, 3]
+    sel = farthest_point_sample(merged[None], stack.shape[1])[0]
+    stack = stack.at[i].set(merged[sel])
+    active = active.at[j].set(False)
+    return stack, active, mat
 
 
 def score_pairs(model, variables, pieces):
@@ -74,32 +106,34 @@ def score_pairs(model, variables, pieces):
     return pairs, twists, scores
 
 
-def greedy_assemble(model, variables, pieces, num_points=1024):
-    """Assemble K fragments ([K, N, 3] array or list) into one cloud.
-
-    Per round the moved piece of the best pair is rigidly mapped onto the
-    fixed piece's frame, merged, and FPS'd back to ``num_points`` so every
-    round keeps static shapes (one jit compilation serves all rounds with
-    the same K - r pieces).
+def greedy_assemble(model, variables, pieces, num_points=None):
+    """Assemble K fragments ([K, N, 3] array or list of [N, 3]) into one
+    cloud. All K pieces must share N (``num_points``, inferred when None);
+    per round the moved piece of the best pair is rigidly mapped onto the
+    fixed piece's frame, merged, and FPS'd back to N. The candidate-pair
+    axis stays K*(K-1) for every round (inactive pairs masked on device),
+    so the whole loop costs exactly two jit compilations.
     """
-    pieces = [jnp.asarray(p, jnp.float32) for p in pieces]
+    stack = jnp.stack([jnp.asarray(p, jnp.float32) for p in pieces])
+    k0, n = stack.shape[0], stack.shape[1]
+    if num_points is not None and num_points != n:
+        raise ValueError(f"pieces have {n} points, expected {num_points}")
+    pairs = [(i, j) for i, j in itertools.product(range(k0), range(k0))
+             if i != j]
+    idx_i = jnp.asarray([i for i, _ in pairs], jnp.int32)
+    idx_j = jnp.asarray([j for _, j in pairs], jnp.int32)
+    active = jnp.ones((k0,), bool)
+
     merge_order, transforms, win_scores = [], [], []
-
-    while len(pieces) > 1:
-        pairs, twists, scores = score_pairs(model, variables, pieces)
-        best = int(jnp.argmin(scores))
-        i, j = pairs[best]
-        mat = se3.exp(twists[best])
-        moved = se3.transform_points(mat, pieces[j])
-        merged = jnp.concatenate([pieces[i], moved], axis=0)
-        idx = farthest_point_sample(merged[None], num_points)[0]
-        merged = merged[idx]
-
+    for _ in range(k0 - 1):
+        best, twist, score = _round_jit(model, variables, stack, active,
+                                        idx_i, idx_j)
+        i, j = pairs[int(best)]
+        stack, active, mat = _merge_jit(stack, active, i, j, twist)
         merge_order.append((i, j))
         transforms.append(np.asarray(mat))
-        win_scores.append(float(scores[best]))
-        pieces = [p for t, p in enumerate(pieces) if t not in (i, j)]
-        pieces.append(merged)
+        win_scores.append(float(score))
 
-    return AssemblyResult(np.asarray(pieces[0]), merge_order, transforms,
+    final = int(np.argmax(np.asarray(active)))
+    return AssemblyResult(np.asarray(stack[final]), merge_order, transforms,
                           win_scores)

@@ -41,9 +41,12 @@ def maybe_initialize_distributed(cfg=None):
 
     Returns True if distributed was initialized.
     """
+    # Opt-in only: --multihost or the JAX-specific env var. The generic
+    # COORDINATOR_ADDRESS is NOT honored on its own — a stray env var from
+    # another system would make single-host training block waiting for a
+    # coordinator that never answers.
     want = (cfg is not None and getattr(cfg, "multihost", False)) or \
-        os.environ.get("JAX_COORDINATOR_ADDRESS") or \
-        os.environ.get("COORDINATOR_ADDRESS")
+        os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not want:
         return False
     kwargs = {}

@@ -22,6 +22,13 @@ def get_boundary_np(fpc, rpc, k=128):
     b = rpc.astype(np.float32, copy=False)
     d = ((a * a).sum(-1)[:, None] + (b * b).sum(-1)[None, :]
          - 2.0 * (a @ b.T))                                  # [N, M]
+    # The expansion cancels catastrophically exactly for the near-zero
+    # cross-piece distances this labeler ranks, so d can dip slightly
+    # negative and top-k membership can differ from the direct (a-b)^2
+    # form on near-ties (ulp-level, boundary membership is rank-128 of a
+    # continuum — both labelings are valid ground truth). Clamp to keep
+    # downstream sqrt/log consumers safe.
+    np.maximum(d, 0.0, out=d)
     d_rpc = d.min(axis=0)   # nearest fpc point for each rpc point
     d_fpc = d.min(axis=1)   # nearest rpc point for each fpc point
     rpc_top = np.argsort(d_rpc, kind="stable")[:k]

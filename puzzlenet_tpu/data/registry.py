@@ -140,28 +140,34 @@ def get_test_dataset(category, random=False, random_slice=False):
 
 
 class _PrecutSynthAdapter:
-    """Slice synthetic clouds ONCE at construction into (up, down) pairs —
-    the synthetic stand-in for the reference's precomputed np_oa_*_up/down
-    piece npys."""
+    """Slice synthetic clouds lazily into fixed (up, down) pairs — the
+    synthetic stand-in for the reference's precomputed np_oa_*_up/down
+    piece npys. Each index is cut once on first access and cached (the
+    'precut' contract: the same index always returns the same pair), so
+    constructing a large-count registry is O(1) instead of paying
+    count x (64-try rejection slice + 2 host FPS) up front."""
 
     def __init__(self, family, count, seed, slicer=plane_split):
-        clouds = synthetic_clouds(family=family, count=count, seed=seed)
-        self.pairs = []
-        for i, pc in enumerate(clouds):
-            rng = np.random.default_rng((seed, i))
-            for _ in range(64):
-                up, down = slicer(np.asarray(pc, np.float32), rng=rng)
-                if len(up) >= 1024 and len(down) >= 1024:
-                    break
-            from .augment import fps_np
-            self.pairs.append((fps_np(up, 1024, rng=rng),
-                               fps_np(down, 1024, rng=rng)))
+        self.clouds = synthetic_clouds(family=family, count=count, seed=seed)
+        self.seed = seed
+        self.slicer = slicer
+        self._cache = {}
 
     def __len__(self):
-        return len(self.pairs)
+        return len(self.clouds)
 
     def __getitem__(self, index):
-        return self.pairs[index]
+        if index not in self._cache:
+            from .augment import fps_np
+            rng = np.random.default_rng((self.seed, index))
+            pc = np.asarray(self.clouds[index], np.float32)
+            for _ in range(64):
+                up, down = self.slicer(pc, rng=rng)
+                if len(up) >= 1024 and len(down) >= 1024:
+                    break
+            self._cache[index] = (fps_np(up, 1024, rng=rng),
+                                  fps_np(down, 1024, rng=rng))
+        return self._cache[index]
 
 
 def get_cad_datasets(category="cad", random=False, random_slice=False,

@@ -100,19 +100,48 @@ class Session:
 
     # -- serving ----------------------------------------------------------
 
-    def predict(self, fpc, mrpc, boundary_k=128):
-        """fpc, mrpc: [B, n, 3] (any B >= 1) -> dict of numpy arrays:
+    def _resample(self, cloud, rng):
+        """[n, 3] any n >= 4 -> [num_points, 3]: FPS down (the same
+        normalization the data path applies to raw clouds, dataset.py FPS
+        to 1024) or resample-with-replacement up (duplicates leave the
+        geometry, and hence the rigid fit, unchanged)."""
+        from .data.augment import fps_np
 
-        twist [B,6], transform [B,4,4], mrpc_aligned [B,n,3],
-        fpc_boundary_prob / mrpc_boundary_prob [B,n],
-        fpc_boundary_mask / mrpc_boundary_mask [B,n] (0/1 @ top-k).
+        n = len(cloud)
+        if n == self.num_points:
+            return cloud
+        if n > self.num_points:
+            return fps_np(cloud, self.num_points, rng=rng)
+        extra = rng.integers(0, n, size=self.num_points - n)
+        return np.concatenate([cloud, cloud[extra]], axis=0)
+
+    def predict(self, fpc, mrpc, boundary_k=128, seed=0):
+        """fpc, mrpc: [B, n, 3] arrays (any B >= 1, any n >= 4) or lists of
+        [n_i, 3] clouds with per-item sizes -> dict of numpy arrays:
+
+        twist [B,6], transform [B,4,4], mrpc_aligned [B,num_points,3],
+        fpc_boundary_prob / mrpc_boundary_prob [B,num_points],
+        fpc_boundary_mask / mrpc_boundary_mask [B,num_points] (0/1 @ top-k).
+
+        Inputs whose n != num_points are normalized first — FPS down /
+        resample-with-replacement up (deterministic under ``seed``) — and
+        the normalized clouds are returned under "fpc" / "mrpc" so the
+        per-point outputs always align with what the network actually saw.
+        The rigid ``transform`` applies to the ORIGINAL moved cloud
+        unchanged (resampling is a subset/duplication of the same points).
         """
-        fpc = np.asarray(fpc, np.float32)
-        mrpc = np.asarray(mrpc, np.float32)
-        if fpc.ndim == 2:
-            fpc, mrpc = fpc[None], mrpc[None]
-        assert fpc.shape == mrpc.shape and fpc.shape[1] == self.num_points, (
-            fpc.shape, mrpc.shape, self.num_points)
+        def norm(x):
+            try:
+                arr = np.asarray(x, np.float32)
+                items = [arr] if arr.ndim == 2 else list(arr)
+            except ValueError:                   # ragged list of clouds
+                items = [np.asarray(c, np.float32) for c in x]
+            rng = np.random.default_rng(seed)
+            return np.stack([self._resample(c, rng) for c in items])
+
+        fpc = norm(fpc)
+        mrpc = norm(mrpc)
+        assert fpc.shape == mrpc.shape, (fpc.shape, mrpc.shape)
         B = fpc.shape[0]
 
         outs = []
@@ -139,6 +168,7 @@ class Session:
             return mask
 
         return {
+            "fpc": fpc, "mrpc": mrpc,
             "twist": twist, "transform": mat, "mrpc_aligned": aligned,
             "fpc_boundary_prob": pf, "mrpc_boundary_prob": pm,
             "fpc_boundary_mask": topk_mask(pf),

@@ -168,6 +168,9 @@ def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k, with_masks):
     H, H2 = w1.shape[1], w2.shape[1]
     s_blk = min(_S_BLK, S)
     assert S % s_blk == 0, (S, s_blk)
+    # relu-support masks pack neighbor j into bit j of a uint32; a shift
+    # of >= 32 silently wraps, so the fused path is limited to k <= 32
+    assert k <= 32, f"fused set abstraction supports k <= 32, got {k}"
     b1r = b1.reshape(1, H)
     b2r = b2.reshape(1, H2)
 
@@ -410,6 +413,7 @@ def fused_set_abstraction(new_xyz, xyz, feats, w1, b1, w2, b2, k):
     """[B,S,3], [B,N,3], [B,N,C], MLP params -> [B, S, w2_out].
 
     TPU: single fused Pallas kernel. Elsewhere: kNN + gather + MLP + max.
+    k must be <= 32 on the fused path (relu-support bitmasks are uint32).
     """
     if pallas_supported():
         out, _, _ = _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k,

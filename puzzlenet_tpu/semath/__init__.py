@@ -8,6 +8,7 @@ finite at t=0).
 """
 
 from . import se3, sinc, so3
-from .sinc import sinc1, sinc2, sinc3, sinc4, rsinc1
+from .sinc import sinc1, sinc2, sinc3, sinc4, rsinc1, rsinc1_dt
 
-__all__ = ["se3", "so3", "sinc", "sinc1", "sinc2", "sinc3", "sinc4", "rsinc1"]
+__all__ = ["se3", "so3", "sinc", "sinc1", "sinc2", "sinc3", "sinc4",
+           "rsinc1", "rsinc1_dt"]

@@ -48,6 +48,16 @@ def sinc1_dt(t):
     return jnp.where(use_taylor, taylor, exact)
 
 
+def sinc1_dt_rt(t):
+    """d/dt(sinc1) / t (reference se_math/sinc.py:36-48)."""
+    t = jnp.asarray(t)
+    t_safe, use_taylor = _guard(t, 1.0)
+    t2 = t * t
+    taylor = -(1.0 / 3) * (1 - t2 / 10 * (1 - t2 / 28 * (1 - t2 / 54)))
+    exact = (jnp.cos(t_safe) / t_safe - jnp.sin(t_safe) / (t_safe * t_safe)) / t_safe
+    return jnp.where(use_taylor, taylor, exact)
+
+
 def rsinc1(t):
     """rsinc1: t -> t/sin(t)."""
     t = jnp.asarray(t)
@@ -55,6 +65,31 @@ def rsinc1(t):
     t2 = t * t
     taylor = (((31 * t2) / 42 + 7) * t2 / 60 + 1) * t2 / 6 + 1
     exact = t_safe / jnp.sin(t_safe)
+    return jnp.where(use_taylor, taylor, exact)
+
+
+def rsinc1_dt(t):
+    """d/dt(rsinc1) (reference se_math/sinc.py:66-77)."""
+    t = jnp.asarray(t)
+    t_safe, use_taylor = _guard(t, 1.0)
+    t2 = t * t
+    taylor = ((((127 * t2) / 30 + 31) * t2 / 28 + 7) * t2 / 30 + 1) * t / 3
+    sin_t = jnp.sin(t_safe)
+    # (sin t - t cos t)/sin^2 is the reference's 1/sin - t cos/sin^2
+    # rearranged to subtract before dividing (the two ~1/t-sized quotients
+    # cancel catastrophically in f32 near the guard)
+    exact = (sin_t - t_safe * jnp.cos(t_safe)) / (sin_t * sin_t)
+    return jnp.where(use_taylor, taylor, exact)
+
+
+def rsinc1_dt_csc(t):
+    """d/dt(rsinc1) / sin(t) (reference se_math/sinc.py:81-92)."""
+    t = jnp.asarray(t)
+    t_safe, use_taylor = _guard(t, 1.0)
+    t2 = t * t
+    taylor = t2 * (t2 * ((4 * t2) / 675 + 2.0 / 63) + 2.0 / 15) + 1.0 / 3
+    sin_t = jnp.sin(t_safe)
+    exact = (sin_t - t_safe * jnp.cos(t_safe)) / (sin_t * sin_t * sin_t)
     return jnp.where(use_taylor, taylor, exact)
 
 

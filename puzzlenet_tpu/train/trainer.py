@@ -112,9 +112,12 @@ def viz_step(model, pretrain, state, batch):
     return vis
 
 
-@functools.partial(jax.jit, static_argnames=("model", "pretrain"))
-def eval_step(model, pretrain, state, batch):
-    """validation_step metric suite (model5_b.py:1172-1277)."""
+@functools.partial(jax.jit, static_argnames=("model", "pretrain", "flags"))
+def eval_step(model, pretrain, state, batch, flags=None):
+    """validation_step metric suite (model5_b.py:1172-1277). When ``flags``
+    (a LossFlags) is given, the training loss terms are also evaluated on
+    the val batch and logged under val/loss* — the scalars the reference's
+    validation pass surfaces alongside the metrics."""
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     out = model.apply(variables, batch.fpc, batch.mrpc, train=False,
                       pretrain=pretrain)
@@ -134,6 +137,14 @@ def eval_step(model, pretrain, state, batch):
                                       LossFlags(log_all=False))
         vals["val/fpc_iou"] = bmetrics["train/fpc_iou"]
         vals["val/mrpcb_iou"] = bmetrics["train/mrpcb_iou"]
+    if flags is not None:
+        from .losses import compute_losses
+        loss, lmetrics = compute_losses(out, batch, flags, pretrain)
+        vals["val/loss"] = loss
+        for k, v in lmetrics.items():
+            # train/loss_re -> val/loss_re etc.; skip duplicated iou tags
+            tag = k.replace("train/", "val/").replace("train_", "val_")
+            vals.setdefault(tag, v)
     return vals
 
 
@@ -478,7 +489,8 @@ class Trainer:
             batch = self._to_batch(arrays)
             if n == 0:
                 self._viz_val(state, batch, pretrain, global_step)
-            vals = eval_step(self.model, pretrain, state, batch)
+            vals = eval_step(self.model, pretrain, state, batch,
+                             flags=self.flags)
             vals = {k: float(v) for k, v in vals.items()}
             agg = vals if agg is None else {
                 k: agg[k] + vals[k] for k in vals}

@@ -46,6 +46,29 @@ class TestAssembly:
             assert g.shape == (4, 4)
             np.testing.assert_allclose(g[3], [0, 0, 0, 1], atol=1e-6)
 
+    def test_greedy_assemble_compile_stable(self, model_and_pieces):
+        """The whole K -> 1 loop reuses exactly two compilations (round
+        scorer + merge) — the candidate-pair axis is padded to K*(K-1)
+        with inactive pairs masked, so no round changes any shape."""
+        from puzzlenet_tpu.assembly import greedy
+
+        model, variables, pieces = model_and_pieces
+        # 4 pieces: split the third fixture piece in two
+        p = pieces[2]
+        four = [pieces[0], pieces[1],
+                np.concatenate([p[:N // 2], p[:N // 2]]),
+                np.concatenate([p[N // 2:], p[N // 2:]])]
+        base_round = greedy._round_jit._cache_size()
+        base_merge = greedy._merge_jit._cache_size()
+        result = greedy_assemble(model, variables, four)
+        assert len(result.merge_order) == 3
+        assert greedy._round_jit._cache_size() - base_round == 1
+        assert greedy._merge_jit._cache_size() - base_merge == 1
+        # merge order indexes the ORIGINAL slot table; merged cloud lands
+        # in the fixed slot, the moved slot is never reused
+        moved = [j for _, j in result.merge_order]
+        assert len(set(moved)) == 3
+
 
 class TestViz:
     def test_ply_roundtrip(self, tmp_path):

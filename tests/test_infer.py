@@ -51,6 +51,27 @@ class TestSession:
         np.testing.assert_allclose(single["twist"][0], out["twist"][2],
                                    atol=1e-5)
 
+    def test_predict_resamples_arbitrary_n(self, run_dir):
+        """Inputs with n != num_points are normalized (FPS down /
+        resample-with-replacement up) instead of asserting."""
+        from puzzlenet_tpu.infer import Session
+
+        sess = Session.from_run(run_dir, batch_size=2)
+        rng = np.random.default_rng(2)
+        big = rng.normal(size=(700, 3)).astype(np.float32)    # FPS down
+        small = rng.normal(size=(100, 3)).astype(np.float32)  # pad up
+        out = sess.predict([big, small], [small, big], boundary_k=16)
+        assert out["fpc"].shape == (2, 256, 3)
+        assert out["twist"].shape == (2, 6)
+        assert out["mrpc_aligned"].shape == (2, 256, 3)
+        # normalized clouds are subsets/duplications of the originals
+        assert {tuple(p) for p in out["fpc"][0]} <= {tuple(p) for p in big}
+        assert {tuple(p) for p in out["fpc"][1]} <= {tuple(p) for p in small}
+        # deterministic under the seed
+        out2 = sess.predict([big, small], [small, big], boundary_k=16)
+        np.testing.assert_array_equal(out["fpc"], out2["fpc"])
+        np.testing.assert_allclose(out["twist"], out2["twist"], atol=1e-6)
+
     def test_convenience_predict_cached(self, run_dir):
         from puzzlenet_tpu import infer
 

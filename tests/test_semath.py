@@ -42,6 +42,37 @@ class TestSinc:
             auto = jax.vmap(jax.grad(fn))(t)
             np.testing.assert_allclose(auto, dfn(t), rtol=1e-4, atol=3e-5)
 
+    def test_derivative_helpers(self):
+        # the remaining reference helpers (se_math/sinc.py:36-48, 66-92):
+        # sinc1_dt_rt = sinc1_dt / t, rsinc1_dt = d/dt rsinc1,
+        # rsinc1_dt_csc = rsinc1_dt / sin(t)
+        t = jnp.linspace(-2.0, 2.0, 41)
+        np.testing.assert_allclose(
+            sinc.sinc1_dt_rt(t), sinc.sinc1_dt(t) / jnp.where(t == 0, 1, t),
+            rtol=1e-4, atol=3e-5)
+        auto = jax.vmap(jax.grad(sinc.rsinc1))(t)
+        np.testing.assert_allclose(sinc.rsinc1_dt(t), auto, rtol=1e-4,
+                                   atol=3e-5)
+        mask = jnp.abs(t) > 1e-3
+        np.testing.assert_allclose(
+            sinc.rsinc1_dt_csc(t)[mask],
+            (sinc.rsinc1_dt(t) / jnp.sin(jnp.where(t == 0, 1, t)))[mask],
+            rtol=1e-4, atol=3e-5)
+        # value at 0 + both sides of the 0.25 Taylor guard vs an f64 oracle
+        def oracle_rsinc1_dt(t):
+            return (np.sin(t) - t * np.cos(t)) / np.sin(t) ** 2
+
+        for fn, oracle, at0 in (
+                (sinc.sinc1_dt_rt,
+                 lambda t: (np.cos(t) / t - np.sin(t) / t**2) / t, -1.0 / 3),
+                (sinc.rsinc1_dt, oracle_rsinc1_dt, 0.0),
+                (sinc.rsinc1_dt_csc,
+                 lambda t: oracle_rsinc1_dt(t) / np.sin(t), 1.0 / 3)):
+            assert float(fn(jnp.array(0.0))) == pytest.approx(at0, abs=1e-6)
+            for tv in (0.2499, 0.2501):  # Taylor side / exact side
+                assert float(fn(jnp.array(tv))) == pytest.approx(
+                    oracle(np.float64(tv)), abs=2e-6), fn.__name__
+
 
 class TestSO3:
     def test_exp_matches_scipy(self):

@@ -103,6 +103,44 @@ class TestPallasSG:
         assert abs(fd - an) / max(abs(fd), 1e-6) < 0.1, (fd, an)
 
 
+class TestSortedTopkNearTies:
+    """sorted_topk packs chunk ids into the low log2(g) mantissa bits of
+    the squared distances, so two DISTINCT points whose distances differ
+    by <= 7 ulps may swap in/out of the selected set vs the exact oracle.
+    This bounds the drift: every selected distance must be within 8 ulps
+    of the true k-th smallest, and everything strictly below that band
+    must be selected. Run on hardware (the denormal-FTZ class of bug is
+    invisible in CPU interpret mode)."""
+
+    def test_near_tie_band_contract(self):
+        from puzzlenet_tpu.ops.lanered import sorted_topk
+
+        rng = np.random.default_rng(5)
+        k, n, rows = 32, 1024, 64
+        d = rng.uniform(0.1, 4.0, size=(rows, n)).astype(np.float32)
+        # plant a near-tie cluster straddling the k-th rank: 12 values
+        # within a few ulps of each other around each row's k-th smallest
+        kth = np.partition(d, k, axis=1)[:, k]
+        for r in range(rows):
+            base = np.float32(kth[r])
+            ulp = np.spacing(base, dtype=np.float32)
+            js = rng.choice(n, size=12, replace=False)
+            d[r, js] = base + (rng.integers(-3, 4, size=12) * ulp
+                               ).astype(np.float32)
+        dj = jnp.asarray(d)
+        idx = np.asarray(jax.jit(lambda x: sorted_topk(x, k))(dj))
+        for r in range(rows):
+            sel = d[r, idx[r]]
+            order = np.sort(d[r])
+            thresh = order[k - 1]
+            band_hi = thresh + 8 * np.spacing(thresh, dtype=np.float32)
+            band_lo = thresh - 8 * np.spacing(thresh, dtype=np.float32)
+            assert len(set(idx[r].tolist())) == k, r
+            assert sel.max() <= band_hi, (r, sel.max(), thresh)
+            must = np.where(d[r] < band_lo)[0]
+            assert set(must).issubset(set(idx[r].tolist())), r
+
+
 class TestPallasMaskedFPS:
     """Masked FPS (the data pipeline's 11k->1024 path). Exact chain
     equality with the lax path is not guaranteed at depth — TPU vs CPU

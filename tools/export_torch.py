@@ -20,8 +20,6 @@ import sys
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -55,4 +53,7 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
+    # CPU-only as a script so exports run alongside TPU training; NOT done
+    # at import (tests import main() from their own configured backend).
+    jax.config.update("jax_platforms", "cpu")
     main()
