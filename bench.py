@@ -1,26 +1,48 @@
 """Benchmark: piece-pairs/sec on the flagship inference path.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N,
+   "train_step_ms": N, "train_pairs_per_sec": N, "baseline": {...}}
 
 value        — jitted PuzzleNet forward (pose twist + boundary logits) at
                batch 64, 1024 points/piece, pairs/sec on the current JAX
                default device (the real TPU chip under the driver).
-vs_baseline  — value / (PyTorch-CPU pairs/sec of an equivalent forward),
-               i.e. the BASELINE.md target ratio (goal: >= 10x). The torch
-               baseline is an independent reimplementation of the same
-               architecture (NOT reference code), measured once and cached
-               in .bench_cpu_baseline.json.
+vs_baseline  — value / (PyTorch-CPU pairs/sec of an equivalent forward at
+               the SAME batch and point count), i.e. the BASELINE.md target
+               ratio (goal: >= 10x). The torch baseline is an independent
+               reimplementation of the same architecture (NOT reference
+               code), measured once per (batch, n, torch version, host) and
+               cached in .bench_cpu_baseline.json; its provenance is
+               stamped into the output line.
+train_*      — full jitted training step (loss_mode 1: chamfer +
+               pose-consistency + EMD + boundary terms, fwd+bwd+adam) at
+               the same batch. The train program's first compile is slow
+               (Mosaic full-unroll selection); a persistent JAX compilation
+               cache under .jax_cache bounds that to once per machine.
+               Set PUZZLENET_BENCH_NO_TRAIN=1 to emit only the inference
+               metric.
 """
 
 import json
 import os
+import platform
 import time
 
 BATCH = 64
 NPOINTS = 1024
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      ".bench_cpu_baseline.json")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_CACHE = os.path.join(_HERE, ".bench_cpu_baseline.json")
+
+
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(_HERE, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass  # cache is an optimization; proceed without it
 
 
 def measure_tpu(batch=BATCH, n=NPOINTS, iters=20, warmup=3):
@@ -163,7 +185,7 @@ def _torch_model(n):
     return Net().eval()
 
 
-def measure_torch_cpu(batch=4, n=NPOINTS, iters=3):
+def measure_torch_cpu(batch=BATCH, n=NPOINTS, iters=2):
     import numpy as np
     import torch
 
@@ -180,25 +202,82 @@ def measure_torch_cpu(batch=4, n=NPOINTS, iters=3):
     return batch / dt
 
 
-def cpu_baseline():
+def cpu_baseline(batch=BATCH, n=NPOINTS):
+    """Torch-CPU pairs/s at the SAME (batch, n) as the TPU measurement.
+
+    Measured once and cached with provenance; the cache is invalidated if
+    the shape, torch version, or host changes (so a stale small-batch
+    number can never inflate the ratio)."""
+    import torch
+
+    prov = {"batch": batch, "n": n, "torch": torch.__version__,
+            "host": platform.node(), "cpus": os.cpu_count()}
     if os.path.exists(_CACHE):
         with open(_CACHE) as f:
-            return json.load(f)["pairs_per_sec"]
-    pps = measure_torch_cpu()
+            cached = json.load(f)
+        if all(cached.get(k) == v for k, v in prov.items()):
+            return cached["pairs_per_sec"], cached
+    pps = measure_torch_cpu(batch=batch, n=n)
+    rec = dict(prov, pairs_per_sec=pps,
+               measured_at=time.strftime("%Y-%m-%dT%H:%M:%S"))
     with open(_CACHE, "w") as f:
-        json.dump({"pairs_per_sec": pps, "batch": 4, "n": NPOINTS}, f)
-    return pps
+        json.dump(rec, f)
+    return pps, rec
+
+
+def measure_train_step(batch=BATCH, n=NPOINTS, iters=10, warmup=2):
+    """Full jitted training step (loss_mode 1, fwd+bwd+adam) pairs/s."""
+    import functools
+
+    import jax
+    import numpy as np
+
+    from puzzlenet_tpu.core.config import Config
+    from puzzlenet_tpu.data.device_pipeline import make_batch
+    from puzzlenet_tpu.data.registry import category_clouds
+    from puzzlenet_tpu.train.trainer import Trainer, train_step
+
+    cfg = Config(dataset="vaser", batch_size=batch, num_points=n,
+                 output_path="/tmp/bench_train", loss_mode=1, lr=0.9e-3)
+    tr = Trainer(cfg)
+    import jax.numpy as jnp
+    clouds = jnp.asarray(np.asarray(category_clouds("vaser"))[:batch])
+    key = jax.random.PRNGKey(0)
+    mk = jax.jit(lambda k: make_batch(k, clouds, npoint=n, cut="plane",
+                                      split_twice=False))
+    batch_data = mk(key)
+    state = tr.init_state(batch_data)
+    sj = jax.jit(functools.partial(train_step, tr.model, tr.tx, tr.flags,
+                                   False))
+    state, m = sj(state, batch_data)
+    for _ in range(warmup):
+        state, m = sj(state, batch_data)
+    np.asarray(m["train_loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = sj(state, batch_data)
+    np.asarray(m["train_loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt, dt * 1e3
 
 
 def main():
+    _enable_compile_cache()
     value = measure_tpu()
-    baseline = cpu_baseline()
-    print(json.dumps({
+    baseline, prov = cpu_baseline()
+    line = {
         "metric": "inference_pairs_per_sec_1024pts",
         "value": round(value, 2),
         "unit": "piece-pairs/s/chip",
         "vs_baseline": round(value / baseline, 2),
-    }))
+        "baseline": {k: prov[k] for k in
+                     ("pairs_per_sec", "batch", "n", "torch")},
+    }
+    if os.environ.get("PUZZLENET_BENCH_NO_TRAIN", "") != "1":
+        train_pps, step_ms = measure_train_step()
+        line["train_pairs_per_sec"] = round(train_pps, 2)
+        line["train_step_ms"] = round(step_ms, 2)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
