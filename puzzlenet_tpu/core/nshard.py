@@ -148,7 +148,16 @@ def _sg_local(new_xyz, xyz, feats, w1, b1, w2, b2, k, axis):
     g = jnp.concatenate([rel, gfs], axis=-1)
     h = jnp.maximum(g @ w1 + b1, 0.0)
     h = jnp.maximum(h @ w2 + b2, 0.0)
-    return jnp.max(h, axis=-2)
+    out = jnp.max(h, axis=-2)
+    # Every shard computed the identical `out` from the all_gathered
+    # candidates, but the vma type system can't infer that (top_k has no
+    # replication rule), so re-establish the replicated type with a
+    # masked psum: only shard 0 contributes its copy. Bit-exact (no
+    # divide), differentiable (psum transposes; pmax does not), and the
+    # cotangent still reaches every shard through the all_gather
+    # transpose. Keeps check_vma=True watching the rest of the body.
+    d = lax.axis_index(axis)
+    return lax.psum(jnp.where(d == 0, out, 0.0), axis)
 
 
 def nshard_set_abstraction(new_xyz, xyz, feats, w1, b1, w2, b2, k, mesh,
@@ -164,8 +173,5 @@ def nshard_set_abstraction(new_xyz, xyz, feats, w1, b1, w2, b2, k, mesh,
         in_specs=(P(None, None, None), P(None, axis, None),
                   P(None, axis, None), P(None, None), P(None),
                   P(None, None), P(None)),
-        out_specs=P(None, None, None),
-        # everything after the all_gather is replicated computation, but
-        # the varying-axes checker can't see through top_k
-        check_vma=False)
+        out_specs=P(None, None, None))
     return f(new_xyz, xyz, feats, w1, b1, w2, b2)
