@@ -28,7 +28,17 @@ def main(argv=None):
     print(f"train={len(train_ds)} val={len(val_ds)} test={len(test_ds)}")
 
     trainer = Trainer(cfg)
-    if cfg.device_data:
+    use_device_data = cfg.device_data
+    if use_device_data is None:
+        # auto: the on-device pipeline is the fast path (one dispatch per
+        # step, ~18 ms/batch vs ~135 ms/item host generation) — default to
+        # it wherever the category supports it; --host_data opts out
+        from ..data.registry import supports_device_pipeline
+        use_device_data = supports_device_pipeline(cfg.dataset)
+        if use_device_data:
+            print("data path: on-device pipeline (use --host_data for the "
+                  "host Loader)")
+    if use_device_data:
         # on-device data path: the whole-cloud stack lives on the TPU and
         # every batch (cut + FPS + boundary + twist) is generated under jit
         from ..data.registry import category_clouds

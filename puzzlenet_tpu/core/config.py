@@ -71,8 +71,13 @@ class Config:
                                              # always computes everything)
     early_stop_threshold: float = 7.0        # stop.txt marker threshold
     bf16: bool = False                       # bfloat16 activations
-    device_data: bool = False                # train via the on-device data
-                                             # pipeline (fit_device_data)
+    device_data: Optional[bool] = None       # train via the on-device data
+                                             # pipeline (fit_device_data).
+                                             # None = auto: ON for synthetic
+                                             # slicer categories (the README
+                                             # recipe), OFF for host-payload
+                                             # datasets. --host_data forces
+                                             # the host Loader path.
     log_every: int = 50                      # scalar-log cadence (steps)
     save_every: int = 1000                   # device-data ckpt cadence
     viz_every: int = 500                     # TB mesh/attention cadence
@@ -115,7 +120,13 @@ def parse_args(argv=None, **overrides):
     p = argparse.ArgumentParser("puzzlenet-tpu")
     for f in dataclasses.fields(Config):
         flag = f"--{f.name}"
-        if f.type == bool or isinstance(f.default, bool):
+        if f.name == "device_data":
+            p.add_argument(flag, dest="device_data", action="store_true",
+                           default=None)
+            p.add_argument("--host_data", dest="device_data",
+                           action="store_false",
+                           help="force the host Loader data path")
+        elif f.type == bool or isinstance(f.default, bool):
             p.add_argument(flag, action="store_true", default=f.default)
         elif f.name == "m":
             p.add_argument("-m", "--m", type=str, default=f.default,

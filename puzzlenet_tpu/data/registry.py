@@ -41,6 +41,12 @@ def data_dir():
     return os.environ.get("PUZZLENET_DATA_DIR", "data")
 
 
+def supports_device_pipeline(category):
+    """True for slicer categories that can train through the on-device
+    data pipeline (whole-cloud stack + in-jit cut/FPS/boundary/twist)."""
+    return category in _NAMES
+
+
 def category_cut(category):
     """Cut-primitive name for a category ('plane'/'sphere'/'cylinder'/
     'cone') — the device pipeline's static analogue of the registry's

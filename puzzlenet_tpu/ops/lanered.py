@@ -75,11 +75,14 @@ def tournament_argmax(v, g_max=8):
 # that is one narrow arg-reduction plus ~g+4 elementwise ops on 1/g of the
 # tile, with no full-tile pass at all.
 #
-# Packing the chunk id clears the low log2(g) mantissa bits (<= 3): distances
-# within 8 ulps of each other may swap selection order. Like the tournament
-# tie-break (above), this is benign here: such near-ties on float point
-# clouds are duplicated or numerically-coincident points whose gathered
-# features agree to the same precision.
+# Packing clears low mantissa bits of the distance (see tie_band below):
+# distances within that many ulps of each other may swap selection order.
+# Like the tournament tie-break (above), this is benign here: kNN membership
+# among near-equidistant candidates is arbitrary under ANY implementation
+# (the dense top_k breaks exact ties by index), and the band is ~1e-4
+# relative, far below the geometric noise of real scans. The packed form is
+# strictly MORE deterministic than argmin: ties resolve by (lane, chunk)
+# identically on every backend.
 
 _NETWORKS = {
     2: [(0, 1)],
@@ -102,7 +105,16 @@ _SENTINEL = 3.4028235e38
 
 def sorted_topk_supported(n, g_max=8):
     g = min(g_max, n // 128)
-    return g in _NETWORKS and n % g == 0
+    L = n // g if g else 0
+    return g in _NETWORKS and n % g == 0 and (L & (L - 1)) == 0
+
+
+def sorted_topk_tie_band(n, g_max=8):
+    """Packed low mantissa bits = the ulp band within which two distinct
+    distances may swap selection (chunk bits + lane bits)."""
+    g = min(g_max, n // 128)
+    L = n // g
+    return 1 << ((g - 1).bit_length() + (L - 1).bit_length())
 
 
 def sorted_topk(d, k, g_max=8, unroll=1):
@@ -110,25 +122,31 @@ def sorted_topk(d, k, g_max=8, unroll=1):
     smallest per row, as an unordered set (tie/ulp caveats above). Pure
     jnp: usable inside Pallas kernels and as a plain op.
 
-    Dtype choreography for Mosaic: the chunk id is packed in int32 (bit
-    ops), but the sorted columns are carried bitcast back to f32 — for
-    non-negative floats the bit patterns order identically, f32 min/max
-    return operand bits untouched, and Mosaic's arg-reduction lowering is
-    f32-only. Two flush-to-zero hazards around d == 0 (every centroid is
-    its own nearest neighbor, so a zero distance occurs in every row):
-    the packed bits of a zero distance are a DENORMAL, which the TPU VPU
-    flushes to 0.0 — erasing the chunk id — so after packing, every value
-    is shifted up one exponent by an int32 add of 1 << 23 (order-
-    preserving on positive-float bit patterns; requires d < ~1.7e38);
-    and the chunk id is read back out of the winning lane with an int32
-    one-hot sum rather than a float one for the same reason."""
+    Dtype choreography for Mosaic: BOTH the chunk id and the lane id are
+    packed into the low mantissa bits in int32 (bits [0, log2 g) = chunk,
+    [log2 g, log2 g + log2 L) = lane), and the sorted columns are carried
+    bitcast back to f32 — for non-negative floats the bit patterns order
+    identically and f32 min/max return operand bits untouched. With the
+    full identity inside the value, each extraction round is ONE plain
+    lane min-reduce (no Mosaic arg-reduction, no one-hot readback): the
+    winning bits decode straight to the global index. Flush-to-zero
+    hazard around d == 0 (every centroid is its own nearest neighbor, so
+    a zero distance occurs in every row): the packed bits of a zero
+    distance are a DENORMAL, which the TPU VPU flushes to 0.0 — erasing
+    the packed id — so after packing, every value is shifted up one
+    exponent by an int32 add of 1 << 23 (order-preserving on positive-
+    float bit patterns; requires d < ~1.7e38)."""
     rows, n = d.shape
     g = min(g_max, n // 128)
     assert sorted_topk_supported(n, g_max), (n, g_max)
     L = n // g
+    gb = (g - 1).bit_length()                 # chunk id bits
+    lb = (L - 1).bit_length()                 # lane id bits
+    clear = ~jnp.int32((1 << (gb + lb)) - 1)
+    lane_bits = lax.broadcasted_iota(jnp.int32, (rows, L), 1) << gb
     u = lax.bitcast_convert_type(d, jnp.int32)
     cols = [lax.bitcast_convert_type(
-        ((u[:, gi * L:(gi + 1) * L] & ~jnp.int32(g - 1)) | gi)
+        ((u[:, gi * L:(gi + 1) * L] & clear) | lane_bits | gi)
         + jnp.int32(1 << 23), jnp.float32)
         for gi in range(g)]
     for a, b in _NETWORKS[g]:
@@ -142,12 +160,12 @@ def sorted_topk(d, k, g_max=8, unroll=1):
     def body(i, carry):
         idx_acc = carry[-1]
         cs = list(carry[:-1])
-        lidx = jnp.argmin(cs[0], axis=1).astype(jnp.int32)[:, None]
-        win = lanes == lidx
-        hbits = lax.bitcast_convert_type(cs[0], jnp.int32)
-        hwin = jnp.sum(jnp.where(win, hbits, 0), axis=1, keepdims=True)
-        gidx = (hwin & (g - 1)) * L + lidx
+        m = jnp.min(cs[0], axis=1, keepdims=True)          # [rows, 1]
+        mb = lax.bitcast_convert_type(m, jnp.int32)
+        lidx = (mb >> gb) & (L - 1)
+        gidx = (mb & (g - 1)) * L + lidx
         idx_acc = jnp.where(kcols == i, gidx, idx_acc)
+        win = lanes == lidx
         for j in range(g - 1):
             cs[j] = jnp.where(win, cs[j + 1], cs[j])
         cs[g - 1] = jnp.where(win, jnp.float32(_SENTINEL), cs[g - 1])

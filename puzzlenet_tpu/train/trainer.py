@@ -245,7 +245,9 @@ class Trainer:
         batch = Batch(*[np.asarray(a, np.float32) for a in arrays[:8]])
         return shard_batch(self.mesh, batch)
 
-    def fit(self, train_ds, val_ds=None):
+    def _start_run(self):
+        """setting.txt/config.json/model.txt dumps + TB text entries
+        (train.py:81-87, model5_b.py:905-909) — shared by both fit paths."""
         cfg = self.cfg
         os.makedirs(cfg.output_path, exist_ok=True)
         cfg.save(cfg.output_path)
@@ -255,6 +257,10 @@ class Trainer:
         self.logger.text("path", cfg.output_path)
         self.logger.text("loss_mode", cfg.loss_mode)
         self.logger.text("lr", cfg.lr)
+
+    def fit(self, train_ds, val_ds=None):
+        cfg = self.cfg
+        self._start_run()
 
         loader = Loader(train_ds, cfg.batch_size, shuffle=True,
                         drop_last=True, num_workers=cfg.num_workers,
@@ -355,8 +361,7 @@ class Trainer:
         from ..data.registry import category_cut
 
         cfg = self.cfg
-        os.makedirs(cfg.output_path, exist_ok=True)
-        cfg.save(cfg.output_path)
+        self._start_run()
         clouds = jnp.asarray(clouds)
         n_clouds = clouds.shape[0]
         key = jax.random.PRNGKey(cfg.seed)

@@ -104,19 +104,22 @@ class TestPallasSG:
 
 
 class TestSortedTopkNearTies:
-    """sorted_topk packs chunk ids into the low log2(g) mantissa bits of
+    """sorted_topk packs chunk + lane ids into the low mantissa bits of
     the squared distances, so two DISTINCT points whose distances differ
-    by <= 7 ulps may swap in/out of the selected set vs the exact oracle.
-    This bounds the drift: every selected distance must be within 8 ulps
-    of the true k-th smallest, and everything strictly below that band
-    must be selected. Run on hardware (the denormal-FTZ class of bug is
-    invisible in CPU interpret mode)."""
+    by less than the tie band (sorted_topk_tie_band ulps) may swap in/out
+    of the selected set vs the exact oracle. This bounds the drift: every
+    selected distance must be within one band of the true k-th smallest,
+    and everything strictly below that band must be selected. Run on
+    hardware (the denormal-FTZ class of bug is invisible in CPU interpret
+    mode)."""
 
     def test_near_tie_band_contract(self):
-        from puzzlenet_tpu.ops.lanered import sorted_topk
+        from puzzlenet_tpu.ops.lanered import (sorted_topk,
+                                               sorted_topk_tie_band)
 
         rng = np.random.default_rng(5)
         k, n, rows = 32, 1024, 64
+        band = sorted_topk_tie_band(n)
         d = rng.uniform(0.1, 4.0, size=(rows, n)).astype(np.float32)
         # plant a near-tie cluster straddling the k-th rank: 12 values
         # within a few ulps of each other around each row's k-th smallest
@@ -133,8 +136,8 @@ class TestSortedTopkNearTies:
             sel = d[r, idx[r]]
             order = np.sort(d[r])
             thresh = order[k - 1]
-            band_hi = thresh + 8 * np.spacing(thresh, dtype=np.float32)
-            band_lo = thresh - 8 * np.spacing(thresh, dtype=np.float32)
+            band_hi = thresh + band * np.spacing(thresh, dtype=np.float32)
+            band_lo = thresh - band * np.spacing(thresh, dtype=np.float32)
             assert len(set(idx[r].tolist())) == k, r
             assert sel.max() <= band_hi, (r, sel.max(), thresh)
             must = np.where(d[r] < band_lo)[0]
