@@ -78,6 +78,16 @@ class Config:
                                              # recipe), OFF for host-payload
                                              # datasets. --host_data forces
                                              # the host Loader path.
+    boundary_fp: bool = False                # beyond-reference boundary-head
+                                             # enrichment: 3-NN feature
+                                             # propagation of stage-1 SG
+                                             # features into the heads
+                                             # (models/puzzlenet.py); changes
+                                             # the param tree, stored in the
+                                             # run config for eval reload
+    bnd_ce_w: float = 1.0                    # boundary-CE positive-class
+                                             # weight (128/1024 imbalance)
+    bnd_cd_w: float = 1.0                    # boundary-chamfer/EMD weight
     log_every: int = 50                      # scalar-log cadence (steps)
     save_every: int = 1000                   # device-data ckpt cadence
     viz_every: int = 500                     # TB mesh/attention cadence

@@ -34,10 +34,11 @@ class Session:
     """Warm inference session over a fixed [batch, n, 3] compiled shape."""
 
     def __init__(self, params, batch_stats, num_points=1024, batch_size=64,
-                 asymmetric_global_quirk=False):
+                 asymmetric_global_quirk=False, boundary_fp=False):
         self.model = PuzzleNet(
             num_points=num_points,
-            asymmetric_global_quirk=asymmetric_global_quirk)
+            asymmetric_global_quirk=asymmetric_global_quirk,
+            boundary_fp=boundary_fp)
         self.variables = {"params": params, "batch_stats": batch_stats}
         self.batch_size = int(batch_size)
         self.num_points = int(num_points)
@@ -82,7 +83,8 @@ class Session:
             state, os.path.join(run_dir, "checkpoints"), step=step)
         return cls(state.params, state.batch_stats,
                    num_points=cfg.num_points, batch_size=batch_size,
-                   asymmetric_global_quirk=cfg.asymmetric_global_quirk)
+                   asymmetric_global_quirk=cfg.asymmetric_global_quirk,
+                   boundary_fp=cfg.boundary_fp)
 
     @classmethod
     def from_reference_checkpoint(cls, path, num_points=1024, batch_size=64,

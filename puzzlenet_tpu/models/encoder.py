@@ -99,7 +99,8 @@ class PCTEncoder(nn.Module):
                                 # fused SG kernel and BN stats stay f32
 
     @nn.compact
-    def __call__(self, xyz, train: bool = False):
+    def __call__(self, xyz, train: bool = False,
+                 return_stages: bool = False):
         d2 = self.gs2_feature_size * 2
 
         # per-point embedding with point-slot BN (reference quirk, see module)
@@ -163,4 +164,9 @@ class PCTEncoder(nn.Module):
         out_local = out_local.astype(jnp.float32)
         f_global = jnp.max(out_local, axis=1)                # [B, 1024]
 
+        if return_stages:
+            # stage-1 centroids + grouped features for downstream feature
+            # propagation (boundary_fp enrichment, models/puzzlenet.py)
+            return (f_global, x2, attention, out_local, x_feature,
+                    x1, f1f.astype(jnp.float32))
         return f_global, x2, attention, out_local, x_feature

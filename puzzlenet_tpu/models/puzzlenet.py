@@ -26,8 +26,23 @@ from typing import Any, NamedTuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax import lax
 
+from ..ops import index_points, square_distance
 from .encoder import PCTEncoder
+
+
+def _three_nn_interpolate(q_xyz, s_xyz, s_feat):
+    """Inverse-distance 3-NN feature upsampling (PointNet++ FP semantics,
+    pointnet_util.py:265-315): pull [B, S, C] stage features onto the
+    [B, N, 3] query points. Pure gather + GEMM — cheap next to the SG
+    stages."""
+    d = square_distance(q_xyz, s_xyz)                  # [B, N, S]
+    negd, idx = lax.top_k(-d, 3)
+    recip = 1.0 / jnp.maximum(-negd, 1e-8)
+    w = recip / jnp.sum(recip, axis=-1, keepdims=True)
+    f = index_points(s_feat, idx)                      # [B, N, 3, C]
+    return jnp.sum(f * w[..., None], axis=2)
 
 
 class PuzzleNetOutput(NamedTuple):
@@ -82,6 +97,15 @@ class _PointMLP(nn.Module):
 class PuzzleNet(nn.Module):
     num_points: int = 1024
     asymmetric_global_quirk: bool = False
+    boundary_fp: bool = False     # beyond-reference: feed the boundary heads
+                                  # 3-NN-interpolated stage-1 neighborhood
+                                  # features alongside x_feature. The
+                                  # reference's heads see only pointwise
+                                  # MLP(xyz) features (model5_b.py:738-754),
+                                  # which cannot observe the one-sided-
+                                  # neighborhood signature of fracture-rim
+                                  # points; the FP path can. Off by default
+                                  # (parity); changes the param tree.
     dtype: Any = jnp.float32      # activation dtype (--bf16 sets bfloat16);
                                   # params, BN stats, twist head, boundary
                                   # logits stay f32
@@ -117,9 +141,24 @@ class PuzzleNet(nn.Module):
             return PuzzleNetOutput(twist, zeros, zeros, fx2, fattn, mx2,
                                    mattn)
 
-        f_fpc, fx2, fattn, _, xfeat_fpc = self.encoder_fpc(fpc, train=train)
-        f_mrpc, mx2, mattn, _, xfeat_mrpc = self.encoder_mrpc(
-            mrpc, train=train)
+        if self.boundary_fp:
+            (f_fpc, fx2, fattn, _, xfeat_fpc, fx1,
+             f1f_fpc) = self.encoder_fpc(fpc, train=train,
+                                         return_stages=True)
+            (f_mrpc, mx2, mattn, _, xfeat_mrpc, mx1,
+             f1f_mrpc) = self.encoder_mrpc(mrpc, train=train,
+                                           return_stages=True)
+            xfeat_fpc = jnp.concatenate(
+                [xfeat_fpc, _three_nn_interpolate(fpc, fx1, f1f_fpc)],
+                axis=-1)                       # [B, N, 64 + 128]
+            xfeat_mrpc = jnp.concatenate(
+                [xfeat_mrpc, _three_nn_interpolate(mrpc, mx1, f1f_mrpc)],
+                axis=-1)
+        else:
+            f_fpc, fx2, fattn, _, xfeat_fpc = self.encoder_fpc(
+                fpc, train=train)
+            f_mrpc, mx2, mattn, _, xfeat_mrpc = self.encoder_mrpc(
+                mrpc, train=train)
 
         twist = self.pose_mlp(jnp.concatenate([f_fpc, f_mrpc], axis=-1))
 

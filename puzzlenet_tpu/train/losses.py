@@ -52,6 +52,9 @@ class LossFlags(NamedTuple):
     use_cd2: bool = False
     use_emd3: bool = False
     log_all: bool = False
+    bnd_ce_w: float = 1.0    # positive-class weight in the boundary CE
+                             # (128/1024 imbalance; 1.0 = reference parity)
+    bnd_cd_w: float = 1.0    # weight on the boundary-chamfer/EMD terms
 
 
 def _reduce(flags, *xs):
@@ -83,10 +86,19 @@ def _boundary_terms(out, batch, mat, flags):
     logits_m = jnp.swapaxes(out.mrpcb_logits, 1, 2)
     labels_f = batch.fpc_idx.astype(jnp.int32)
     labels_m = batch.rpc_idx.astype(jnp.int32)
-    ce_f = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
-        logits_f, labels_f))
-    ce_m = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
-        logits_m, labels_m))
+
+    def _ce(logits, labels):
+        per_point = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels)
+        if flags.bnd_ce_w == 1.0:
+            return jnp.mean(per_point)
+        # class-weighted CE, normalized by the weight mass so it reduces
+        # exactly to the mean at w=1 (F.cross_entropy(weight=...) semantics)
+        w = jnp.where(labels == 1, flags.bnd_ce_w, 1.0)
+        return jnp.sum(w * per_point) / jnp.sum(w)
+
+    ce_f = _ce(logits_f, labels_f)
+    ce_m = _ce(logits_m, labels_m)
 
     # top-128 by class-1 probability; softmax is monotone in the logit
     # margin, so rank on logits[...,1] - logits[...,0] directly
@@ -114,7 +126,7 @@ def _boundary_terms(out, batch, mat, flags):
     cd1, cd2 = chamfer_distances(inv_de_mrpcb, batch.rpcb)
     loss_mrpcb = jnp.mean(cd1) + jnp.mean(cd2)
 
-    terms = ce_f + ce_m + loss_fpcb + loss_mrpcb
+    terms = ce_f + ce_m + flags.bnd_cd_w * (loss_fpcb + loss_mrpcb)
     metrics = {
         "train/loss_fpcb_cel": ce_f, "train/loss_rpcb_cel": ce_m,
         "train/fpc_iou": iou_f, "train/mrpcb_iou": iou_m,
@@ -126,7 +138,7 @@ def _boundary_terms(out, batch, mat, flags):
         metrics["train/loss_emd_fpcb"] = emd_f
         metrics["train/loss_emc_mrpcb"] = emd_m
         if flags.use_emd3:
-            terms = terms + emd_f + emd_m
+            terms = terms + flags.bnd_cd_w * (emd_f + emd_m)
     return terms, metrics
 
 

@@ -156,12 +156,14 @@ class Trainer:
         self.model = PuzzleNet(
             num_points=cfg.num_points,
             asymmetric_global_quirk=cfg.asymmetric_global_quirk,
+            boundary_fp=cfg.boundary_fp,
             dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32)
         self.tx = make_optimizer(cfg)
         self.flags = LossFlags(
             loss_mode=cfg.loss_mode, loss_sum=cfg.loss_sum,
             use_emd2=cfg.use_emd2, use_cd2=cfg.use_cd2,
-            use_emd3=cfg.use_emd3, log_all=cfg.log_all_losses)
+            use_emd3=cfg.use_emd3, log_all=cfg.log_all_losses,
+            bnd_ce_w=cfg.bnd_ce_w, bnd_cd_w=cfg.bnd_cd_w)
         self.logger = TBLogger(os.path.join(cfg.output_path, "tb"))
         self.ckpt_manager = None
         if cfg.debug_nans:
