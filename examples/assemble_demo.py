@@ -20,27 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def split_into_pieces(cloud, k, npoint, rng):
-    """Recursive plane splitting into k FPS'd fragments."""
-    from puzzlenet_tpu.data.augment import fps_np
-    from puzzlenet_tpu.data.slicers import plane_split
-
-    parts = [cloud]
-    while len(parts) < k:
-        parts.sort(key=len, reverse=True)
-        big = parts.pop(0)
-        for _ in range(64):
-            a, b = plane_split(big, rng=rng)
-            if len(a) >= npoint and len(b) >= npoint:
-                break
-        else:
-            axis = int(np.argmax(big.max(0) - big.min(0)))
-            med = np.median(big[:, axis])
-            a, b = big[big[:, axis] >= med], big[big[:, axis] < med]
-        parts += [a, b]
-    return [fps_np(p, npoint, rng=rng) for p in parts]
-
-
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--run_dir", default=None,
@@ -53,21 +32,17 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from puzzlenet_tpu import viz
-    from puzzlenet_tpu.assembly import greedy_assemble
+    from puzzlenet_tpu.assembly import (fragment_cloud, greedy_assemble,
+                                        scatter_pieces)
     from puzzlenet_tpu.data import synthetic_clouds
-    from puzzlenet_tpu.data.augment import random_se3_np
     from puzzlenet_tpu.models import PuzzleNet
     from puzzlenet_tpu.ops import chamfer_loss
 
     rng = np.random.default_rng(args.seed)
     cloud = synthetic_clouds("vase", count=1, n_points=8192,
                              seed=args.seed)[0]
-    pieces = split_into_pieces(cloud, args.pieces, args.num_points, rng)
-    # scatter every piece but the first with a random rigid motion
-    scattered = [pieces[0]]
-    for piece in pieces[1:]:
-        moved, _, _, _ = random_se3_np(rng, piece, mag=0.8)
-        scattered.append(moved)
+    pieces = fragment_cloud(cloud, args.pieces, args.num_points, rng)
+    scattered, _ = scatter_pieces(pieces, rng)
     print(f"{args.pieces} pieces of {args.num_points} points each")
 
     model = PuzzleNet(num_points=args.num_points)

@@ -1,5 +1,7 @@
 """Multi-piece reassembly (iterative greedy pairwise matching)."""
 
+from .fragment import fragment_cloud, scatter_pieces
 from .greedy import AssemblyResult, greedy_assemble, score_pairs
 
-__all__ = ["greedy_assemble", "score_pairs", "AssemblyResult"]
+__all__ = ["greedy_assemble", "score_pairs", "AssemblyResult",
+           "fragment_cloud", "scatter_pieces"]

@@ -1,0 +1,53 @@
+"""Multi-fragment problem generation for assembly evaluation.
+
+The reference describes N-piece reassembly (README.md:14) but ships no
+fragmenter; this reproduces the pairwise data path's semantics (random
+plane cuts with a both-sides-large-enough rejection loop, dataset.py
+1172-1179) applied recursively until K fragments exist, then FPS-normalizes
+each fragment exactly like the dataset pipeline (dataset.py:1147-1163).
+"""
+
+import numpy as np
+
+from ..data.augment import fps_np, random_se3_np
+from ..data.slicers import plane_split
+
+
+def fragment_cloud(cloud, k, npoint=1024, rng=None, max_tries=64):
+    """Cut a whole [M, 3] cloud into ``k`` fragments of ``npoint`` points.
+
+    Recursive splitting: repeatedly plane-split the largest fragment,
+    rejection-looping until both sides keep >= npoint points (falling back
+    to a median cut along the widest axis when the random planes keep
+    failing), then FPS each fragment to npoint.
+    """
+    rng = np.random.default_rng() if rng is None else rng
+    parts = [np.asarray(cloud, np.float32)]
+    while len(parts) < k:
+        parts.sort(key=len, reverse=True)
+        big = parts.pop(0)
+        for _ in range(max_tries):
+            a, b = plane_split(big, rng=rng)
+            if len(a) >= npoint and len(b) >= npoint:
+                break
+        else:
+            axis = int(np.argmax(big.max(0) - big.min(0)))
+            med = np.median(big[:, axis])
+            a, b = big[big[:, axis] >= med], big[big[:, axis] < med]
+        parts += [a, b]
+    return [fps_np(p, npoint, rng=rng) for p in parts]
+
+
+def scatter_pieces(pieces, rng=None, mag=0.8):
+    """Rigidly perturb every fragment but the first (the anchor) with a
+    random mag-``mag`` twist — the same distribution RandomTransformSE3
+    applies to training pairs (se_math/transforms.py:151-197). Returns
+    (scattered pieces, [4, 4] ground-truth motions per piece; identity for
+    the anchor)."""
+    rng = np.random.default_rng() if rng is None else rng
+    scattered, gts = [pieces[0]], [np.eye(4, dtype=np.float32)]
+    for piece in pieces[1:]:
+        moved, igt, _, _ = random_se3_np(rng, piece, mag=mag)
+        scattered.append(moved)
+        gts.append(np.asarray(igt, np.float32))
+    return scattered, gts

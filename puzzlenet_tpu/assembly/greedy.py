@@ -106,26 +106,36 @@ def score_pairs(model, variables, pieces):
     return pairs, twists, scores
 
 
-def greedy_assemble(model, variables, pieces, num_points=None):
+def greedy_assemble(model, variables, pieces, num_points=None,
+                    pad_to=None):
     """Assemble K fragments ([K, N, 3] array or list of [N, 3]) into one
     cloud. All K pieces must share N (``num_points``, inferred when None);
     per round the moved piece of the best pair is rigidly mapped onto the
     fixed piece's frame, merged, and FPS'd back to N. The candidate-pair
-    axis stays K*(K-1) for every round (inactive pairs masked on device),
+    axis stays K0*(K0-1) for every round (inactive pairs masked on device),
     so the whole loop costs exactly two jit compilations.
+
+    ``pad_to``: pad the slot stack to this many slots (inactive dummies) so
+    ONE compiled program serves every K <= pad_to — e.g. pad_to=8 compiles
+    once and then assembles any 3..8-piece problem with zero recompiles
+    (the tools/assembly_bench.py protocol).
     """
     stack = jnp.stack([jnp.asarray(p, jnp.float32) for p in pieces])
-    k0, n = stack.shape[0], stack.shape[1]
+    k, n = stack.shape[0], stack.shape[1]
     if num_points is not None and num_points != n:
         raise ValueError(f"pieces have {n} points, expected {num_points}")
+    k0 = max(k, pad_to or 0)
+    if k0 > k:
+        stack = jnp.concatenate(
+            [stack, jnp.zeros((k0 - k, n, 3), jnp.float32)])
     pairs = [(i, j) for i, j in itertools.product(range(k0), range(k0))
              if i != j]
     idx_i = jnp.asarray([i for i, _ in pairs], jnp.int32)
     idx_j = jnp.asarray([j for _, j in pairs], jnp.int32)
-    active = jnp.ones((k0,), bool)
+    active = jnp.arange(k0) < k
 
     merge_order, transforms, win_scores = [], [], []
-    for _ in range(k0 - 1):
+    for _ in range(k - 1):
         best, twist, score = _round_jit(model, variables, stack, active,
                                         idx_i, idx_j)
         i, j = pairs[int(best)]

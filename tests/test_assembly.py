@@ -69,6 +69,45 @@ class TestAssembly:
         moved = [j for _, j in result.merge_order]
         assert len(set(moved)) == 3
 
+    def test_pad_to_shares_one_compilation_across_k(self, model_and_pieces):
+        """pad_to=K_max: one compiled program pair serves every K (the
+        assembly_bench protocol — no recompile between a 3-piece and a
+        4-piece problem)."""
+        from puzzlenet_tpu.assembly import greedy
+
+        model, variables, pieces = model_and_pieces
+        p = pieces[2]
+        four = [pieces[0], pieces[1],
+                np.concatenate([p[:N // 2], p[:N // 2]]),
+                np.concatenate([p[N // 2:], p[N // 2:]])]
+        base_round = greedy._round_jit._cache_size()
+        base_merge = greedy._merge_jit._cache_size()
+        r3 = greedy_assemble(model, variables, pieces, pad_to=4)
+        r4 = greedy_assemble(model, variables, four, pad_to=4)
+        assert len(r3.merge_order) == 2 and len(r4.merge_order) == 3
+        # both calls share ONE 4-slot program pair (<= 1: a previous test
+        # may already have compiled the same shapes)
+        assert greedy._round_jit._cache_size() - base_round <= 1
+        assert greedy._merge_jit._cache_size() - base_merge <= 1
+        # padded dummy slots must never be selected
+        touched = {i for ij in r3.merge_order for i in ij}
+        assert touched <= {0, 1, 2}
+
+    def test_fragment_and_scatter(self):
+        from puzzlenet_tpu.assembly import fragment_cloud, scatter_pieces
+
+        rng = np.random.default_rng(0)
+        u = rng.standard_normal((4 * N, 3)).astype(np.float32)
+        pieces = fragment_cloud(u, 4, npoint=N // 2, rng=rng)
+        assert len(pieces) == 4
+        assert all(p.shape == (N // 2, 3) for p in pieces)
+        scattered, gts = scatter_pieces(pieces, rng)
+        assert len(scattered) == 4 and len(gts) == 4
+        np.testing.assert_allclose(gts[0], np.eye(4))
+        # scattered piece = igt . piece (row-vector convention)
+        want = pieces[1] @ gts[1][:3, :3].T + gts[1][:3, 3]
+        np.testing.assert_allclose(scattered[1], want, atol=1e-5)
+
 
 class TestViz:
     def test_ply_roundtrip(self, tmp_path):

@@ -1,0 +1,154 @@
+"""Multi-piece assembly quality/perf benchmark (BASELINE.json config #4).
+
+Protocol (VERDICT r2 item 1): pad the greedy loop to a fixed 8-slot stack
+so ONE compiled program pair serves every K, then measure N=3..8 fragments
+x >= 20 seeds each: wall time per assembly, final chamfer to the uncut
+cloud, and success rate. Emits a markdown table + JSON.
+
+    python tools/assembly_bench.py --run_dir TRG/vaser_r2b \
+        --seeds 20 --out TRG/assembly_bench.json
+
+The reference has no assembly code at all (SURVEY.md par.0) — these are the
+first published numbers for the paper's described multi-piece behavior.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_model(run_dir, num_points):
+    from puzzlenet_tpu.core.config import Config
+    from puzzlenet_tpu.train.losses import Batch
+    from puzzlenet_tpu.train.trainer import Trainer
+
+    cfg = Config.load(run_dir)
+    cfg.output_path = run_dir
+    trainer = Trainer(cfg)
+    example = Batch(*[jnp.zeros((1, num_points, 3))] * 2,
+                    jnp.zeros((1, 4, 4)),
+                    jnp.zeros((1, num_points, 3)),
+                    jnp.zeros((1, 128, 3)), jnp.zeros((1, 128, 3)),
+                    jnp.zeros((1, num_points)), jnp.zeros((1, num_points)))
+    state = trainer.init_state(example)
+    state = trainer.restore_checkpoint(
+        state, os.path.join(run_dir, "checkpoints"))
+    return trainer.model, {"params": state.params,
+                           "batch_stats": state.batch_stats}, cfg
+
+
+def one_problem(family, seed, k, npoint):
+    from puzzlenet_tpu.assembly import fragment_cloud, scatter_pieces
+    from puzzlenet_tpu.data import synthetic_clouds
+
+    rng = np.random.default_rng(seed)
+    # seed offset: evaluation clouds, disjoint from the training seeds
+    cloud = synthetic_clouds(family, count=1, n_points=8192,
+                             seed=100000 + seed)[0]
+    pieces = fragment_cloud(cloud, k, npoint, rng)
+    scattered, _ = scatter_pieces(pieces, rng)
+    return cloud, scattered
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--run_dir", required=True)
+    p.add_argument("--family", default=None,
+                   help="synthetic family (default: from the run's dataset)")
+    p.add_argument("--k_min", type=int, default=3)
+    p.add_argument("--k_max", type=int, default=8)
+    p.add_argument("--seeds", type=int, default=20)
+    p.add_argument("--num_points", type=int, default=1024)
+    p.add_argument("--success_cd", type=float, default=0.02,
+                   help="assembly counts as a success when "
+                        "chamfer(assembled, original) < this")
+    p.add_argument("--out", default=None, help="write JSON results here")
+    args = p.parse_args(argv)
+
+    from puzzlenet_tpu.assembly import greedy_assemble
+    from puzzlenet_tpu.data.augment import fps_np
+    from puzzlenet_tpu.data.registry import _NAMES
+    from puzzlenet_tpu.ops import chamfer_loss
+
+    model, variables, cfg = load_model(args.run_dir, args.num_points)
+    family = args.family or _NAMES.get(cfg.dataset, (None, "vase"))[1]
+    print(f"model: {args.run_dir} (dataset={cfg.dataset}, family={family})")
+
+    # warmup: compile the padded-8 program pair once (K=k_max slots)
+    cloud, scattered = one_problem(family, 0, args.k_min, args.num_points)
+    t0 = time.perf_counter()
+    r = greedy_assemble(model, variables, scattered, pad_to=args.k_max)
+    np.asarray(r.assembled)
+    print(f"warmup (compile): {time.perf_counter() - t0:.1f}s")
+
+    rows = []
+    for k in range(args.k_min, args.k_max + 1):
+        cds, cd0s, walls = [], [], []
+        for seed in range(args.seeds):
+            cloud, scattered = one_problem(family, seed, k,
+                                           args.num_points)
+            t0 = time.perf_counter()
+            r = greedy_assemble(model, variables, scattered,
+                                pad_to=args.k_max)
+            assembled = np.asarray(r.assembled)   # host readback = sync
+            walls.append(time.perf_counter() - t0)
+
+            gt = fps_np(cloud, args.num_points,
+                        rng=np.random.default_rng(1))
+            cd = float(chamfer_loss(jnp.asarray(assembled)[None],
+                                    jnp.asarray(gt)[None])[0])
+            un = fps_np(np.concatenate(scattered), args.num_points,
+                        rng=np.random.default_rng(1))
+            cd0 = float(chamfer_loss(jnp.asarray(un)[None],
+                                     jnp.asarray(gt)[None])[0])
+            cds.append(cd)
+            cd0s.append(cd0)
+        cds, walls = np.asarray(cds), np.asarray(walls)
+        row = {
+            "k": k,
+            "wall_ms_mean": float(walls.mean() * 1e3),
+            "wall_ms_p50": float(np.median(walls) * 1e3),
+            "wall_ms_max": float(walls.max() * 1e3),
+            "cd_mean": float(cds.mean()),
+            "cd_p50": float(np.median(cds)),
+            "cd_scattered_mean": float(np.mean(cd0s)),
+            "success_rate": float((cds < args.success_cd).mean()),
+            "seeds": args.seeds,
+        }
+        rows.append(row)
+        print(f"K={k}: wall {row['wall_ms_mean']:.0f} ms "
+              f"(p50 {row['wall_ms_p50']:.0f}, max {row['wall_ms_max']:.0f})"
+              f"  cd {row['cd_mean']:.4f} (p50 {row['cd_p50']:.4f}, "
+              f"scattered {row['cd_scattered_mean']:.4f})  "
+              f"success {row['success_rate']:.0%}", flush=True)
+
+    # recompile check: after warmup every assembly is pure execution; a
+    # stray recompile would show as a >> p50 outlier in its row's max
+    print("\n| K | wall ms (p50) | cd mean | cd p50 | scattered cd | "
+          "success |")
+    print("|---|---|---|---|---|---|")
+    for row in rows:
+        print(f"| {row['k']} | {row['wall_ms_p50']:.0f} "
+              f"| {row['cd_mean']:.4f} | {row['cd_p50']:.4f} "
+              f"| {row['cd_scattered_mean']:.4f} "
+              f"| {row['success_rate']:.0%} |")
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"run_dir": args.run_dir, "family": family,
+                       "success_cd": args.success_cd, "rows": rows}, f,
+                      indent=2)
+        print("wrote", args.out)
+    return rows
+
+
+if __name__ == "__main__":
+    main()
