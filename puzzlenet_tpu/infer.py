@@ -177,12 +177,17 @@ class Session:
             "mrpc_boundary_mask": topk_mask(pm),
         }
 
-    def assemble(self, pieces):
-        """Multi-piece greedy reassembly with this session's weights."""
+    def assemble(self, pieces, pad_to=8):
+        """Multi-piece greedy reassembly with this session's weights.
+
+        ``pad_to``: fixed slot-stack size — one compiled program pair
+        serves every K <= pad_to across calls (serving-friendly; set to
+        None/0 to compile exactly-K programs instead)."""
         from .assembly import greedy_assemble
 
         return greedy_assemble(self.model, self.variables, pieces,
-                               num_points=self.num_points)
+                               num_points=self.num_points,
+                               pad_to=pad_to or None)
 
 
 @functools.lru_cache(maxsize=4)

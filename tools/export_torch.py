@@ -37,6 +37,13 @@ def main(argv=None):
     from puzzlenet_tpu.core.torch_compat import export_state_dict
     from puzzlenet_tpu.infer import Session
 
+    with open(os.path.join(ns.run_dir, "config.json")) as f:
+        if json.load(f).get("boundary_fp"):
+            raise SystemExit(
+                "this run was trained with --boundary_fp (widened boundary "
+                "heads); the reference network has no matching modules, so "
+                "a reference-format export is not possible. Re-train "
+                "without --boundary_fp for torch interop.")
     sess = Session.from_run(ns.run_dir, step=ns.step, batch_size=1)
     sd = export_state_dict(sess.variables["params"],
                            sess.variables["batch_stats"])
