@@ -45,7 +45,13 @@ def load_model(run_dir, num_points):
                            "batch_stats": state.batch_stats}, cfg
 
 
-def one_problem(family, seed, k, npoint):
+def one_problem(family, seed, k, npoint, cache_dir=None):
+    if cache_dir:
+        path = os.path.join(cache_dir, f"{family}_{k}_{seed}_{npoint}.npz")
+        if os.path.exists(path):
+            z = np.load(path)
+            return z["cloud"], [z[f"p{i}"] for i in range(k)]
+
     from puzzlenet_tpu.assembly import fragment_cloud, scatter_pieces
     from puzzlenet_tpu.data import synthetic_clouds
 
@@ -55,6 +61,10 @@ def one_problem(family, seed, k, npoint):
                              seed=100000 + seed)[0]
     pieces = fragment_cloud(cloud, k, npoint, rng)
     scattered, _ = scatter_pieces(pieces, rng)
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez(path, cloud=cloud,
+                 **{f"p{i}": p for i, p in enumerate(scattered)})
     return cloud, scattered
 
 
@@ -71,6 +81,9 @@ def main(argv=None):
                    help="assembly counts as a success when "
                         "chamfer(assembled, original) < this")
     p.add_argument("--out", default=None, help="write JSON results here")
+    p.add_argument("--cache_dir", default=None,
+                   help="cache generated problems as npz here (host-side "
+                        "fragmenting is ~2 s/problem at K=8)")
     args = p.parse_args(argv)
 
     from puzzlenet_tpu.assembly import greedy_assemble
@@ -83,7 +96,8 @@ def main(argv=None):
     print(f"model: {args.run_dir} (dataset={cfg.dataset}, family={family})")
 
     # warmup: compile the padded-8 program pair once (K=k_max slots)
-    cloud, scattered = one_problem(family, 0, args.k_min, args.num_points)
+    cloud, scattered = one_problem(family, 0, args.k_min, args.num_points,
+                                   args.cache_dir)
     t0 = time.perf_counter()
     r = greedy_assemble(model, variables, scattered, pad_to=args.k_max)
     np.asarray(r.assembled)
@@ -94,7 +108,7 @@ def main(argv=None):
         cds, cd0s, walls = [], [], []
         for seed in range(args.seeds):
             cloud, scattered = one_problem(family, seed, k,
-                                           args.num_points)
+                                           args.num_points, args.cache_dir)
             t0 = time.perf_counter()
             r = greedy_assemble(model, variables, scattered,
                                 pad_to=args.k_max)
