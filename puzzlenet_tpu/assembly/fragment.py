@@ -24,18 +24,38 @@ def fragment_cloud(cloud, k, npoint=1024, rng=None, max_tries=64):
     rng = np.random.default_rng() if rng is None else rng
     parts = [np.asarray(cloud, np.float32)]
     while len(parts) < k:
+        # try fragments largest-first; accept the first cut that leaves
+        # both sides >= npoint
         parts.sort(key=len, reverse=True)
-        big = parts.pop(0)
-        for _ in range(max_tries):
-            a, b = plane_split(big, rng=rng)
-            if len(a) >= npoint and len(b) >= npoint:
-                break
+        for pos, cand in enumerate(parts):
+            a = b = None
+            for _ in range(max_tries):
+                a, b = plane_split(cand, rng=rng)
+                if len(a) >= npoint and len(b) >= npoint:
+                    break
+            else:
+                continue
+            parts.pop(pos)
+            break
         else:
-            axis = int(np.argmax(big.max(0) - big.min(0)))
-            med = np.median(big[:, axis])
-            a, b = big[big[:, axis] >= med], big[big[:, axis] < med]
+            # no fragment admits a clean cut: median-cut the largest and
+            # let the undersized side be padded below
+            cand = parts.pop(0)
+            axis = int(np.argmax(cand.max(0) - cand.min(0)))
+            med = np.median(cand[:, axis])
+            a, b = cand[cand[:, axis] >= med], cand[cand[:, axis] < med]
         parts += [a, b]
-    return [fps_np(p, npoint, rng=rng) for p in parts]
+
+    out = []
+    for p in parts:
+        if len(p) < npoint:
+            # pad by resampling with replacement: duplicated points leave
+            # the geometry (and any rigid fit to it) unchanged
+            extra = rng.integers(0, len(p), npoint - len(p))
+            out.append(np.concatenate([p, p[extra]]).astype(np.float32))
+        else:
+            out.append(fps_np(p, npoint, rng=rng))
+    return out
 
 
 def scatter_pieces(pieces, rng=None, mag=0.8):
