@@ -316,7 +316,10 @@ class Trainer:
                               "w") as f:
                         f.write(f"stop\n{epoch}\n{epoch_loss}")
 
-                if epoch % cfg.save_on_epochs == 0:
+                # every-n semantics (Lightning ModelCheckpoint
+                # every_n_epochs, train.py:119-124): first save at epoch
+                # save_on_epochs - 1, not at epoch 0
+                if (epoch + 1) % cfg.save_on_epochs == 0:
                     self.save_checkpoint(state, epoch, epoch_loss)
 
                 if (val_loader is not None
