@@ -108,6 +108,18 @@ class TestAssembly:
         want = pieces[1] @ gts[1][:3, :3].T + gts[1][:3, 3]
         np.testing.assert_allclose(scattered[1], want, atol=1e-5)
 
+    def test_fragment_pads_undersized_pieces(self):
+        """k * npoint close to the cloud size forces the pad path: every
+        fragment still comes back exactly [npoint, 3]."""
+        from puzzlenet_tpu.assembly import fragment_cloud
+
+        rng = np.random.default_rng(3)
+        u = rng.standard_normal((4 * N + 40, 3)).astype(np.float32)
+        pieces = fragment_cloud(u, 4, npoint=N, rng=rng)
+        assert len(pieces) == 4
+        assert all(p.shape == (N, 3) for p in pieces)
+        assert all(np.isfinite(p).all() for p in pieces)
+
 
 class TestViz:
     def test_ply_roundtrip(self, tmp_path):
