@@ -77,13 +77,24 @@ def _round_jit(model, variables, stack, active, idx_i, idx_j):
     return best, twists[best], scores[best]
 
 
+@functools.partial(jax.jit, static_argnames=("model",))
+def _refine_jit(model, variables, stack, i, j, mat):
+    """One pose-refinement iteration on the winning pair: re-run the
+    pairwise net on (fixed piece, currently-aligned moved piece) and
+    compose the correction (beyond-reference; the single-shot net leaves
+    a residual that a second look at the almost-aligned pair removes)."""
+    fpc = stack[i][None]
+    moved = se3.transform_points(mat[None], stack[j][None])
+    out = model.apply(variables, fpc, moved, train=False)
+    return se3.exp(out.twist)[0] @ mat
+
+
 @jax.jit
-def _merge_jit(stack, active, i, j, twist):
-    """Merge slot j onto slot i: transform by exp(twist), concatenate,
+def _merge_jit(stack, active, i, j, mat):
+    """Merge slot j onto slot i: transform by ``mat``, concatenate,
     FPS back to N (static 2N -> N shapes), write into slot i, deactivate
     slot j. i/j are traced scalars so one compilation serves every round.
     """
-    mat = se3.exp(twist[None])[0]                          # [4, 4]
     moved = se3.transform_points(mat[None], stack[j][None])[0]
     merged = jnp.concatenate([stack[i], moved], axis=0)    # [2N, 3]
     sel = farthest_point_sample(merged[None], stack.shape[1])[0]
@@ -107,7 +118,7 @@ def score_pairs(model, variables, pieces):
 
 
 def greedy_assemble(model, variables, pieces, num_points=None,
-                    pad_to=None):
+                    pad_to=None, refine_iters=0):
     """Assemble K fragments ([K, N, 3] array or list of [N, 3]) into one
     cloud. All K pieces must share N (``num_points``, inferred when None);
     per round the moved piece of the best pair is rigidly mapped onto the
@@ -119,6 +130,11 @@ def greedy_assemble(model, variables, pieces, num_points=None,
     ONE compiled program serves every K <= pad_to — e.g. pad_to=8 compiles
     once and then assembles any 3..8-piece problem with zero recompiles
     (the tools/assembly_bench.py protocol).
+
+    ``refine_iters``: extra pose-refinement forwards per merge — each
+    re-runs the pairwise net on the already-aligned winning pair and
+    composes the correction (fixed-shape, one additional compiled
+    program total).
     """
     stack = jnp.stack([jnp.asarray(p, jnp.float32) for p in pieces])
     k, n = stack.shape[0], stack.shape[1]
@@ -139,7 +155,10 @@ def greedy_assemble(model, variables, pieces, num_points=None,
         best, twist, score = _round_jit(model, variables, stack, active,
                                         idx_i, idx_j)
         i, j = pairs[int(best)]
-        stack, active, mat = _merge_jit(stack, active, i, j, twist)
+        mat = se3.exp(twist[None])[0]
+        for _ in range(refine_iters):
+            mat = _refine_jit(model, variables, stack, i, j, mat)
+        stack, active, mat = _merge_jit(stack, active, i, j, mat)
         merge_order.append((i, j))
         transforms.append(np.asarray(mat))
         win_scores.append(float(score))

@@ -93,6 +93,24 @@ class TestAssembly:
         touched = {i for ij in r3.merge_order for i in ij}
         assert touched <= {0, 1, 2}
 
+    def test_refine_iters(self, model_and_pieces):
+        """Pose refinement composes valid rigid transforms and adds exactly
+        one extra compiled program regardless of iters or rounds."""
+        from puzzlenet_tpu.assembly import greedy
+
+        model, variables, pieces = model_and_pieces
+        base = greedy._refine_jit._cache_size()
+        result = greedy_assemble(model, variables, pieces, pad_to=4,
+                                 refine_iters=2)
+        assert greedy._refine_jit._cache_size() - base <= 1
+        assert len(result.merge_order) == 2
+        for g in result.transforms:
+            # composed transform stays rigid: R^T R = I, det = +1
+            R = g[:3, :3]
+            np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-4)
+            assert np.linalg.det(R) > 0.9
+            np.testing.assert_allclose(g[3], [0, 0, 0, 1], atol=1e-6)
+
     def test_fragment_and_scatter(self):
         from puzzlenet_tpu.assembly import fragment_cloud, scatter_pieces
 

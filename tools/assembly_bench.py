@@ -84,6 +84,8 @@ def main(argv=None):
     p.add_argument("--cache_dir", default=None,
                    help="cache generated problems as npz here (host-side "
                         "fragmenting is ~2 s/problem at K=8)")
+    p.add_argument("--refine_iters", type=int, default=0,
+                   help="pose-refinement forwards per merge")
     args = p.parse_args(argv)
 
     from puzzlenet_tpu.assembly import greedy_assemble
@@ -99,7 +101,8 @@ def main(argv=None):
     cloud, scattered = one_problem(family, 0, args.k_min, args.num_points,
                                    args.cache_dir)
     t0 = time.perf_counter()
-    r = greedy_assemble(model, variables, scattered, pad_to=args.k_max)
+    r = greedy_assemble(model, variables, scattered, pad_to=args.k_max,
+                        refine_iters=args.refine_iters)
     np.asarray(r.assembled)
     print(f"warmup (compile): {time.perf_counter() - t0:.1f}s")
 
@@ -111,7 +114,8 @@ def main(argv=None):
                                            args.num_points, args.cache_dir)
             t0 = time.perf_counter()
             r = greedy_assemble(model, variables, scattered,
-                                pad_to=args.k_max)
+                                pad_to=args.k_max,
+                                refine_iters=args.refine_iters)
             assembled = np.asarray(r.assembled)   # host readback = sync
             walls.append(time.perf_counter() - t0)
 
@@ -158,7 +162,8 @@ def main(argv=None):
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"run_dir": args.run_dir, "family": family,
-                       "success_cd": args.success_cd, "rows": rows}, f,
+                       "success_cd": args.success_cd,
+                       "refine_iters": args.refine_iters, "rows": rows}, f,
                       indent=2)
         print("wrote", args.out)
     return rows
