@@ -54,7 +54,22 @@ class Session:
                 jnp.swapaxes(out.mrpcb_logits, 1, 2), axis=-1)[..., 1]
             return out.twist, mat, aligned, probs_f, probs_m
 
+        @jax.jit
+        def _refine(variables, fpc, mrpc, mat):
+            """One refinement pass: re-run the net on the aligned pair and
+            compose the correction into ``mat`` (same compiled shape)."""
+            aligned = se3.transform_points(mat, mrpc)
+            out = self.model.apply(variables, fpc, aligned, train=False)
+            mat = jnp.matmul(se3.exp(out.twist), mat)
+            probs_f = jax.nn.softmax(
+                jnp.swapaxes(out.fpcb_logits, 1, 2), axis=-1)[..., 1]
+            probs_m = jax.nn.softmax(
+                jnp.swapaxes(out.mrpcb_logits, 1, 2), axis=-1)[..., 1]
+            return (se3.log(mat), mat, se3.transform_points(mat, mrpc),
+                    probs_f, probs_m)
+
         self._forward = _forward
+        self._refine = _refine
 
     # -- constructors -----------------------------------------------------
 
@@ -117,7 +132,7 @@ class Session:
         extra = rng.integers(0, n, size=self.num_points - n)
         return np.concatenate([cloud, cloud[extra]], axis=0)
 
-    def predict(self, fpc, mrpc, boundary_k=128, seed=0):
+    def predict(self, fpc, mrpc, boundary_k=128, seed=0, refine_iters=0):
         """fpc, mrpc: [B, n, 3] arrays (any B >= 1, any n >= 4) or lists of
         [n_i, 3] clouds with per-item sizes -> dict of numpy arrays:
 
@@ -157,8 +172,10 @@ class Session:
                     [chunk_f, np.repeat(chunk_f[-1:], pad, axis=0)])
                 chunk_m = np.concatenate(
                     [chunk_m, np.repeat(chunk_m[-1:], pad, axis=0)])
-            res = self._forward(self.variables, jnp.asarray(chunk_f),
-                                jnp.asarray(chunk_m))
+            cf, cm = jnp.asarray(chunk_f), jnp.asarray(chunk_m)
+            res = self._forward(self.variables, cf, cm)
+            for _ in range(refine_iters):
+                res = self._refine(self.variables, cf, cm, res[1])
             outs.append([np.asarray(r)[:n_real] for r in res])
         twist, mat, aligned, pf, pm = (
             np.concatenate([o[i] for o in outs]) for i in range(5))

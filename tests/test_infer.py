@@ -106,3 +106,32 @@ class TestExportTool:
                 jax.tree_util.tree_leaves(stats)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert hparams["dataset"] == "vaser"
+
+
+def test_predict_refine_iters(session_fixture_or_none=None):
+    """refine_iters composes rigid transforms; outputs keep shape and the
+    refined transform stays a valid SE(3) element."""
+    import jax
+    import numpy as np
+
+    from puzzlenet_tpu.infer import Session
+    from puzzlenet_tpu.models import PuzzleNet
+    import jax.numpy as jnp
+
+    N = 256
+    rng = np.random.default_rng(0)
+    model = PuzzleNet(num_points=N)
+    z = jnp.zeros((1, N, 3))
+    variables = model.init(jax.random.PRNGKey(0), z, z, train=False)
+    sess = Session(variables["params"], variables["batch_stats"],
+                   num_points=N, batch_size=2)
+    fpc = rng.normal(size=(2, N, 3)).astype(np.float32)
+    mrpc = rng.normal(size=(2, N, 3)).astype(np.float32)
+    out0 = sess.predict(fpc, mrpc)
+    out2 = sess.predict(fpc, mrpc, refine_iters=2)
+    assert out2["transform"].shape == (2, 4, 4)
+    for g in out2["transform"]:
+        R = g[:3, :3]
+        np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-4)
+    # refinement changes the pose (untrained net != identity correction)
+    assert not np.allclose(out0["transform"], out2["transform"])
