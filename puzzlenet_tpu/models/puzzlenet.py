@@ -29,20 +29,17 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops import index_points, square_distance
+from ..ops.interp_pallas import three_nn_interpolate
 from .encoder import PCTEncoder
 
 
 def _three_nn_interpolate(q_xyz, s_xyz, s_feat):
     """Inverse-distance 3-NN feature upsampling (PointNet++ FP semantics,
     pointnet_util.py:265-315): pull [B, S, C] stage features onto the
-    [B, N, 3] query points. Pure gather + GEMM — cheap next to the SG
-    stages."""
-    d = square_distance(q_xyz, s_xyz)                  # [B, N, S]
-    negd, idx = lax.top_k(-d, 3)
-    recip = 1.0 / jnp.maximum(-negd, 1e-8)
-    w = recip / jnp.sum(recip, axis=-1, keepdims=True)
-    f = index_points(s_feat, idx)                      # [B, N, 3, C]
-    return jnp.sum(f * w[..., None], axis=2)
+    [B, N, 3] query points. Fused Pallas kernel on TPU (the XLA top_k
+    formulation lowers to a full [B, N, S] sort and dominated the
+    boundary_fp forward); XLA math elsewhere (ops/interp_pallas.py)."""
+    return three_nn_interpolate(q_xyz, s_xyz, s_feat)
 
 
 class PuzzleNetOutput(NamedTuple):

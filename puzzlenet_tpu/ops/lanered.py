@@ -117,6 +117,62 @@ def sorted_topk_tie_band(n, g_max=8):
     return 1 << ((g - 1).bit_length() + (L - 1).bit_length())
 
 
+def topk_stream_init(d, g_max=8):
+    """Pack identities + column-sort (the one-time half of sorted_topk).
+
+    Returns ``(cols, (g, L, gb))`` — ``cols`` a tuple of g [rows, L] f32
+    arrays, each lane's cross-chunk column sorted ascending — ready for
+    incremental extraction with :func:`topk_stream_next`. The split API
+    exists so the fused set-abstraction kernel can software-pipeline
+    extraction of neighbor block r+1 against the MXU compute of block r."""
+    rows, n = d.shape
+    g = min(g_max, n // 128)
+    assert sorted_topk_supported(n, g_max), (n, g_max)
+    L = n // g
+    gb = (g - 1).bit_length()                 # chunk id bits
+    lb = (L - 1).bit_length()                 # lane id bits
+    clear = ~jnp.int32((1 << (gb + lb)) - 1)
+    lane_bits = lax.broadcasted_iota(jnp.int32, (rows, L), 1) << gb
+    u = lax.bitcast_convert_type(d, jnp.int32)
+    cols = [lax.bitcast_convert_type(
+        ((u[:, gi * L:(gi + 1) * L] & clear) | lane_bits | gi)
+        + jnp.int32(1 << 23), jnp.float32)
+        for gi in range(g)]
+    for a, b in _NETWORKS[g]:
+        lo = jnp.minimum(cols[a], cols[b])
+        hi = jnp.maximum(cols[a], cols[b])
+        cols[a], cols[b] = lo, hi
+    return tuple(cols), (g, L, gb)
+
+
+def _extract_one(cs, lanes, g, L, gb):
+    """One extraction round: returns (new column list, [rows, 1] global
+    index of the winner). ``lanes``: [rows, L] int32 lane iota."""
+    m = jnp.min(cs[0], axis=1, keepdims=True)              # [rows, 1]
+    mb = lax.bitcast_convert_type(m, jnp.int32)
+    lidx = (mb >> gb) & (L - 1)
+    gidx = (mb & (g - 1)) * L + lidx
+    win = lanes == lidx
+    cs = list(cs)
+    for j in range(g - 1):
+        cs[j] = jnp.where(win, cs[j + 1], cs[j])
+    cs[g - 1] = jnp.where(win, jnp.float32(_SENTINEL), cs[g - 1])
+    return cs, gidx
+
+
+def topk_stream_next(cols, lanes, meta, nsteps):
+    """Extract the next ``nsteps`` winners (Python-unrolled). Returns
+    ``(new_cols, gidx [rows, nsteps] int32)`` in ascending-distance
+    order."""
+    g, L, gb = meta
+    cs = list(cols)
+    winners = []
+    for _ in range(nsteps):
+        cs, gidx = _extract_one(cs, lanes, g, L, gb)
+        winners.append(gidx)
+    return tuple(cs), jnp.concatenate(winners, axis=1)
+
+
 def sorted_topk(d, k, g_max=8, unroll=1):
     """[rows, n] f32 (>= 0, finite) -> [rows, k] int32 indices of the k
     smallest per row, as an unordered set (tie/ulp caveats above). Pure
@@ -137,38 +193,14 @@ def sorted_topk(d, k, g_max=8, unroll=1):
     exponent by an int32 add of 1 << 23 (order-preserving on positive-
     float bit patterns; requires d < ~1.7e38)."""
     rows, n = d.shape
-    g = min(g_max, n // 128)
-    assert sorted_topk_supported(n, g_max), (n, g_max)
-    L = n // g
-    gb = (g - 1).bit_length()                 # chunk id bits
-    lb = (L - 1).bit_length()                 # lane id bits
-    clear = ~jnp.int32((1 << (gb + lb)) - 1)
-    lane_bits = lax.broadcasted_iota(jnp.int32, (rows, L), 1) << gb
-    u = lax.bitcast_convert_type(d, jnp.int32)
-    cols = [lax.bitcast_convert_type(
-        ((u[:, gi * L:(gi + 1) * L] & clear) | lane_bits | gi)
-        + jnp.int32(1 << 23), jnp.float32)
-        for gi in range(g)]
-    for a, b in _NETWORKS[g]:
-        lo = jnp.minimum(cols[a], cols[b])
-        hi = jnp.maximum(cols[a], cols[b])
-        cols[a], cols[b] = lo, hi
-
+    cols, (g, L, gb) = topk_stream_init(d, g_max)
     lanes = lax.broadcasted_iota(jnp.int32, (rows, L), 1)
     kcols = lax.broadcasted_iota(jnp.int32, (rows, k), 1)
 
     def body(i, carry):
         idx_acc = carry[-1]
-        cs = list(carry[:-1])
-        m = jnp.min(cs[0], axis=1, keepdims=True)          # [rows, 1]
-        mb = lax.bitcast_convert_type(m, jnp.int32)
-        lidx = (mb >> gb) & (L - 1)
-        gidx = (mb & (g - 1)) * L + lidx
+        cs, gidx = _extract_one(list(carry[:-1]), lanes, g, L, gb)
         idx_acc = jnp.where(kcols == i, gidx, idx_acc)
-        win = lanes == lidx
-        for j in range(g - 1):
-            cs[j] = jnp.where(win, cs[j + 1], cs[j])
-        cs[g - 1] = jnp.where(win, jnp.float32(_SENTINEL), cs[g - 1])
         return (*cs, idx_acc)
 
     out = lax.fori_loop(0, k, body,

@@ -42,13 +42,19 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .lanered import sorted_topk, sorted_topk_supported, tournament_argmin
+from .lanered import (sorted_topk, sorted_topk_supported,
+                      topk_stream_init, topk_stream_next, tournament_argmin)
 from .pointops import index_points, knn_indices
 
 _S_BLK = 256
 _SEL_UNROLL = None   # selection extraction-loop unroll; None = full k
                      # (Mosaic supports only 1 or full; full measured
                      # ~20% faster on the stage-1 shape)
+_PIPELINE = True     # software-pipeline selection with the MXU compute:
+                     # extract neighbor block r+1 while block r's gather +
+                     # MLP matmuls run — the extraction chain is VPU-bound
+                     # and independent of the compute chain, so Mosaic can
+                     # co-issue them (identical outputs either way)
 _INTERPRET = False   # run the Pallas kernels in interpret mode (CPU tests)
 
 
@@ -160,6 +166,96 @@ def _sg_kernel(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
         mask_refs[1][0] = m2
 
 
+def _sg_kernel_pipe(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
+                    b1_ref, w2_ref, b2_ref, out_ref, idx_ref, amax_ref,
+                    *mask_refs):
+    """Same stage as :func:`_sg_kernel`, software-pipelined: the selection
+    stream (ops/lanered.py topk_stream_*) yields one neighbor block of
+    winners per loop iteration, and the loop body both computes block r
+    (one-hot gather + MLP + max on the MXU) and extracts block r+1's
+    winners (pure VPU) — two independent dataflow chains Mosaic can
+    interleave. Outputs are identical to the unpipelined kernel."""
+    q = q_ref[0]                      # [s, 3]
+    xyz = xyz_ref[0]                  # [N, 3]
+    feats = feats_ref[0]              # [N, C]
+    w1, b1 = w1_ref[:, :], b1_ref[:, :]
+    w2, b2 = w2_ref[:, :], b2_ref[:, :]
+    s, n = q.shape[0], xyz.shape[0]
+    h1n, h2n = w1.shape[1], w2.shape[1]
+
+    dx = q[:, 0:1] - xyz[:, 0:1].T
+    dy = q[:, 1:2] - xyz[:, 1:2].T
+    dz = q[:, 2:3] - xyz[:, 2:3].T
+    d0 = dx * dx + dy * dy + dz * dz            # [s, n] f32, exact
+
+    lane = lax.broadcasted_iota(jnp.int32, (s, n), 1)
+    kcols = lax.broadcasted_iota(jnp.int32, (s, k), 1)
+
+    cols, meta = topk_stream_init(d0)
+    lanesL = lax.broadcasted_iota(jnp.int32, (s, meta[1]), 1)
+    cols, winners = topk_stream_next(cols, lanesL, meta, kb)
+
+    cat = jnp.concatenate([xyz, feats], axis=1).astype(jnp.bfloat16)
+    qs = jnp.concatenate([q] * kb, axis=0)                   # [kb*s, 3]
+
+    def consume_block(k0, winners, idx_acc, acc, amax, m1, m2):
+        """Gather + MLP + max for one block given its decoded winner
+        indices [s, kb]; k0 may be traced (loop) or static (epilogue)."""
+        ohs = []
+        for j in range(kb):
+            sel = winners[:, j:j + 1]                        # [s, 1]
+            idx_acc = jnp.where(kcols == k0 + j, sel, idx_acc)
+            ohs.append((lane == sel).astype(jnp.bfloat16))
+        oh = jnp.concatenate(ohs, axis=0)                    # [kb*s, n]
+        nb = _dot(oh, cat)                                   # [kb*s, 3+C]
+        gk = jnp.concatenate([nb[:, :3] - qs, nb[:, 3:]], axis=1)
+        a1 = _dot(gk, w1) + b1
+        h1 = jnp.maximum(a1, 0.0)
+        a2 = _dot(h1, w2) + b2
+        hv = jnp.maximum(a2, 0.0)
+        for j in range(kb):
+            rows = slice(j * s, (j + 1) * s)
+            hj = hv[rows]
+            kj = k0 + j
+            amax = jnp.where(hj > acc, kj, amax)
+            acc = jnp.maximum(acc, hj)
+            if with_masks:
+                bit = (jnp.uint32(1)
+                       << jnp.asarray(kj, jnp.int32).astype(jnp.uint32))
+                m1 = m1 | jnp.where(a1[rows] > 0, bit, jnp.uint32(0))
+                m2 = m2 | jnp.where(a2[rows] > 0, bit, jnp.uint32(0))
+        return idx_acc, acc, amax, m1, m2
+
+    mask_shape = (s, h1n) if with_masks else (1, 1)
+    mask_shape2 = (s, h2n) if with_masks else (1, 1)
+    init = (cols, winners,
+            jnp.zeros((s, k), jnp.int32),
+            jnp.full((s, h2n), -jnp.inf, jnp.float32),
+            jnp.zeros((s, h2n), jnp.int32),
+            jnp.zeros(mask_shape, jnp.uint32),
+            jnp.zeros(mask_shape2, jnp.uint32))
+
+    def blk_body(blk, carry):
+        cols, winners, idx_acc, acc, amax, m1, m2 = carry
+        idx_acc, acc, amax, m1, m2 = consume_block(
+            blk * kb, winners, idx_acc, acc, amax, m1, m2)
+        cols, winners = topk_stream_next(cols, lanesL, meta, kb)
+        return (cols, winners, idx_acc, acc, amax, m1, m2)
+
+    nblk = k // kb
+    _, winners, idx_acc, acc, amax, m1, m2 = lax.fori_loop(
+        0, nblk - 1, blk_body, init)
+    idx_acc, acc, amax, m1, m2 = consume_block(
+        (nblk - 1) * kb, winners, idx_acc, acc, amax, m1, m2)
+
+    idx_ref[0] = idx_acc
+    out_ref[0] = acc
+    amax_ref[0] = amax
+    if with_masks:
+        mask_refs[0][0] = m1
+        mask_refs[1][0] = m2
+
+
 def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k, with_masks):
     """``with_masks=True`` (the under-grad path) additionally emits the
     relu-support bitmasks the backward kernel routes gradients by."""
@@ -200,8 +296,10 @@ def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k, with_masks):
             jax.ShapeDtypeStruct((B, S, H2), jnp.uint32),
         ]
 
+    kernel = (_sg_kernel_pipe if _PIPELINE and sorted_topk_supported(N)
+              else _sg_kernel)
     res = pl.pallas_call(
-        functools.partial(_sg_kernel, k, _neighbor_block(k), with_masks),
+        functools.partial(kernel, k, _neighbor_block(k), with_masks),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, s_blk, 3), lambda i, j: (i, j, 0),

@@ -125,6 +125,22 @@ class TestKernelInterpret:
                                    rtol=1e-2, atol=1e-2)
 
 
+    def test_pipelined_matches_unpipelined(self, interpret_mode,
+                                           monkeypatch):
+        """The software-pipelined kernel must be bit-identical to the
+        sequential one (same extraction order, same compute): out, idx,
+        argmax and relu-support masks all match exactly."""
+        args = self._kargs(2)
+        res = {}
+        for pipe in (False, True):
+            monkeypatch.setattr(sg, "_PIPELINE", pipe)
+            res[pipe] = sg._fused_forward(*args, 32, with_masks=True)
+        for a, b, name in zip(res[False], res[True],
+                              ("out", "idx", "amax", "m1", "m2")):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=name)
+
+
 def _direct_k(q, xyz, feats, w1, b1, w2, b2, k):
     idx = knn_indices(q, xyz, k)
     return _mlp_max_from_idx(q, xyz, feats, w1, b1, w2, b2, idx)
