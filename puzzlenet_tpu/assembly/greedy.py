@@ -29,6 +29,7 @@ from jax import lax
 
 from ..ops import chamfer_distances, farthest_point_sample, index_points
 from ..semath import se3
+from .icp import icp_align
 
 
 class AssemblyResult(NamedTuple):
@@ -41,7 +42,9 @@ class AssemblyResult(NamedTuple):
 def _pair_forward(model, variables, fpc, mrpc):
     """Batched pairwise net + boundary extraction + fit score.
 
-    fpc, mrpc: [P, N, 3] candidate pairs. Returns (twist [P,6], score [P]).
+    fpc, mrpc: [P, N, 3] candidate pairs. Returns (twist [P, 6],
+    score [P], top_f [P, 128], top_m [P, 128] predicted-boundary
+    indices).
     """
     out = model.apply(variables, fpc, mrpc, train=False)
     mat = se3.exp(out.twist)
@@ -54,7 +57,7 @@ def _pair_forward(model, variables, fpc, mrpc):
     bnd_m = se3.transform_points(mat, index_points(mrpc, top_m))
     d1, d2 = chamfer_distances(bnd_f, bnd_m)
     score = jnp.mean(d1, axis=-1) + jnp.mean(d2, axis=-1)  # [P]
-    return out.twist, score
+    return out.twist, score, top_f, top_m
 
 
 _pair_forward_jit = functools.partial(
@@ -67,14 +70,15 @@ def _round_jit(model, variables, stack, active, idx_i, idx_j):
 
     stack [K0, N, 3], active [K0] bool, idx_i/idx_j [P] int32 (the constant
     ordered-pair tables). Returns (best pair position, its twist, its
-    score) — all device scalars; inactive pairs score +inf.
+    score, its predicted-boundary index sets) — all device values;
+    inactive pairs score +inf.
     """
-    twists, scores = _pair_forward(model, variables,
-                                   stack[idx_i], stack[idx_j])
+    twists, scores, top_f, top_m = _pair_forward(model, variables,
+                                                 stack[idx_i], stack[idx_j])
     valid = active[idx_i] & active[idx_j]
     scores = jnp.where(valid, scores, jnp.inf)
     best = jnp.argmin(scores)
-    return best, twists[best], scores[best]
+    return best, twists[best], scores[best], top_f[best], top_m[best]
 
 
 @functools.partial(jax.jit, static_argnames=("model",))
@@ -87,6 +91,18 @@ def _refine_jit(model, variables, stack, i, j, mat):
     moved = se3.transform_points(mat[None], stack[j][None])
     out = model.apply(variables, fpc, moved, train=False)
     return se3.exp(out.twist)[0] @ mat
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _icp_refine_jit(stack, i, j, top_f, top_m, mat, iters):
+    """Boundary-ICP pose polish on the winning pair: rigid ICP between the
+    two predicted top-128 fracture-boundary sets (the only regions of the
+    two pieces that actually overlap — see assembly/icp.py), composed onto
+    the network pose. Fixed shapes; one compilation per ``iters``."""
+    bnd_f = stack[i][top_f]                                  # [128, 3]
+    bnd_m = se3.transform_points(mat[None], stack[j][top_m][None])[0]
+    corr = icp_align(bnd_m, bnd_f, iters=iters)
+    return corr @ mat
 
 
 @jax.jit
@@ -113,12 +129,12 @@ def score_pairs(model, variables, pieces):
              if i != j]
     fpc = jnp.stack([pieces[i] for i, _ in pairs])
     mrpc = jnp.stack([pieces[j] for _, j in pairs])
-    twists, scores = _pair_forward_jit(model, variables, fpc, mrpc)
+    twists, scores, _, _ = _pair_forward_jit(model, variables, fpc, mrpc)
     return pairs, twists, scores
 
 
 def greedy_assemble(model, variables, pieces, num_points=None,
-                    pad_to=None, refine_iters=0):
+                    pad_to=None, refine_iters=0, icp_iters=0):
     """Assemble K fragments ([K, N, 3] array or list of [N, 3]) into one
     cloud. All K pieces must share N (``num_points``, inferred when None);
     per round the moved piece of the best pair is rigidly mapped onto the
@@ -135,6 +151,11 @@ def greedy_assemble(model, variables, pieces, num_points=None,
     re-runs the pairwise net on the already-aligned winning pair and
     composes the correction (fixed-shape, one additional compiled
     program total).
+
+    ``icp_iters``: boundary-ICP iterations per merge — rigid ICP between
+    the winning pair's predicted fracture-boundary sets, composed after
+    the network pose (assembly/icp.py; cheap [128, 128] geometry, no
+    extra network forwards).
     """
     stack = jnp.stack([jnp.asarray(p, jnp.float32) for p in pieces])
     k, n = stack.shape[0], stack.shape[1]
@@ -152,12 +173,15 @@ def greedy_assemble(model, variables, pieces, num_points=None,
 
     merge_order, transforms, win_scores = [], [], []
     for _ in range(k - 1):
-        best, twist, score = _round_jit(model, variables, stack, active,
-                                        idx_i, idx_j)
+        best, twist, score, top_f, top_m = _round_jit(
+            model, variables, stack, active, idx_i, idx_j)
         i, j = pairs[int(best)]
         mat = se3.exp(twist[None])[0]
         for _ in range(refine_iters):
             mat = _refine_jit(model, variables, stack, i, j, mat)
+        if icp_iters:
+            mat = _icp_refine_jit(stack, i, j, top_f, top_m, mat,
+                                  icp_iters)
         stack, active, mat = _merge_jit(stack, active, i, j, mat)
         merge_order.append((i, j))
         transforms.append(np.asarray(mat))

@@ -1,0 +1,84 @@
+"""Rigid ICP refinement on predicted fracture-boundary sets.
+
+The pairwise net leaves a residual pose error (r_mae ~0.5-2 deg on
+converged models) that compounds over a K-piece greedy assembly. Plain
+ICP between two pieces is WRONG here — the pieces are complementary, not
+overlapping — but their predicted top-128 boundary sets sample the SAME
+fracture interface from both sides, so classic rigid ICP between the two
+boundary sets is well-posed and cheap ([128, 128] distances).
+
+Beyond-reference capability (the reference has no multi-piece or
+refinement code at all; its closest quantity is the boundary chamfer its
+test_step evaluates, model5_b.py:1349-1360).
+
+TPU-native design: fixed iteration count under ``lax.fori_loop``, soft
+trimmed correspondences (robust Tukey-style weights instead of
+data-dependent rejection, so shapes stay static), and the rotation solved
+by Horn's quaternion method — a 4x4 ``eigh`` instead of a 3x3 SVD (eigh
+of a tiny symmetric matrix lowers cleanly on TPU).
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _horn_rotation(H):
+    """Rotation matrix from a 3x3 correlation matrix via Horn's
+    quaternion method: largest eigenvector of the symmetric 4x4 N-matrix.
+    Proper rotation by construction (no det sign fixup needed)."""
+    Sxx, Sxy, Sxz = H[0, 0], H[0, 1], H[0, 2]
+    Syx, Syy, Syz = H[1, 0], H[1, 1], H[1, 2]
+    Szx, Szy, Szz = H[2, 0], H[2, 1], H[2, 2]
+    N = jnp.array([
+        [Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx],
+        [Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz],
+        [Szx - Sxz, Sxy + Syx, -Sxx + Syy - Szz, Syz + Szy],
+        [Sxy - Syx, Szx + Sxz, Syz + Szy, -Sxx - Syy + Szz]])
+    _, vecs = jnp.linalg.eigh(N)
+    q = vecs[:, -1]                       # largest eigenvalue's vector
+    w, x, y, z = q[0], q[1], q[2], q[3]
+    return jnp.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+
+
+def icp_align(src, dst, iters=8, trim=2.0):
+    """Rigid ICP: returns the [4, 4] transform mapping ``src`` onto
+    ``dst``. ``src`` [n, 3], ``dst`` [m, 3] (static shapes).
+
+    Per iteration: nearest-neighbor correspondences (dense [n, m]
+    distances), robust weights ``1 / (1 + d / (trim * mean_d))`` that
+    soft-trim outlier matches, then the weighted Kabsch/Horn solve.
+    Fully jittable; fixed ``iters`` so one compilation serves every call.
+    """
+    src = jnp.asarray(src, jnp.float32)
+    dst = jnp.asarray(dst, jnp.float32)
+
+    def body(_, carry):
+        R, t = carry
+        cur = src @ R.T + t                          # [n, 3]
+        d = (jnp.sum(cur ** 2, axis=1, keepdims=True)
+             + jnp.sum(dst ** 2, axis=1)[None]
+             - 2.0 * cur @ dst.T)                    # [n, m]
+        nnd = jnp.maximum(jnp.min(d, axis=1), 0.0)   # [n]
+        nni = jnp.argmin(d, axis=1)
+        corr = dst[nni]                              # [n, 3]
+        scale = trim * jnp.mean(nnd) + 1e-12
+        w = 1.0 / (1.0 + nnd / scale)                # [n]
+        wsum = jnp.sum(w)
+        mu_s = jnp.sum(w[:, None] * cur, axis=0) / wsum
+        mu_d = jnp.sum(w[:, None] * corr, axis=0) / wsum
+        H = ((w[:, None] * (cur - mu_s)).T @ (corr - mu_d))
+        Rd = _horn_rotation(H)
+        R_new = Rd @ R
+        t_new = Rd @ (t - mu_s) + mu_d
+        return R_new, t_new
+
+    R, t = lax.fori_loop(0, iters, body,
+                         (jnp.eye(3), jnp.zeros(3)))
+    mat = jnp.eye(4)
+    mat = mat.at[:3, :3].set(R)
+    mat = mat.at[:3, 3].set(t)
+    return mat

@@ -111,6 +111,47 @@ class TestAssembly:
             assert np.linalg.det(R) > 0.9
             np.testing.assert_allclose(g[3], [0, 0, 0, 1], atol=1e-6)
 
+    def test_icp_align_recovers_rigid_transform(self):
+        """icp_align recovers a moderate known rigid motion between two
+        noisy samplings of the same surface patch."""
+        from scipy.spatial.transform import Rotation
+
+        from puzzlenet_tpu.assembly import icp_align
+
+        rng = np.random.default_rng(7)
+        # curved patch (paraboloid) — full-rank geometry, no symmetry
+        xy = rng.uniform(-1, 1, size=(128, 2))
+        dst = np.concatenate(
+            [xy, (0.7 * xy[:, :1] ** 2 + 0.3 * xy[:, 1:] ** 2)], axis=1
+        ).astype(np.float32)
+        R = Rotation.from_rotvec([0.12, -0.2, 0.15]).as_matrix()
+        t = np.asarray([0.05, -0.08, 0.1])
+        # src = inverse-motion applied to an independent noisy sampling
+        src = ((dst + rng.normal(scale=5e-3, size=dst.shape)) - t) @ R
+        mat = np.asarray(icp_align(src.astype(np.float32), dst, iters=8))
+        np.testing.assert_allclose(mat[:3, :3], R, atol=0.02)
+        np.testing.assert_allclose(mat[:3, 3], t, atol=0.02)
+        Rr = mat[:3, :3]
+        np.testing.assert_allclose(Rr.T @ Rr, np.eye(3), atol=1e-5)
+        assert np.linalg.det(Rr) > 0.99
+
+    def test_icp_iters(self, model_and_pieces):
+        """Boundary-ICP polish composes valid rigid transforms and adds
+        exactly one extra compiled program across rounds."""
+        from puzzlenet_tpu.assembly import greedy
+
+        model, variables, pieces = model_and_pieces
+        base = greedy._icp_refine_jit._cache_size()
+        result = greedy_assemble(model, variables, pieces, pad_to=4,
+                                 icp_iters=4)
+        assert greedy._icp_refine_jit._cache_size() - base <= 1
+        assert len(result.merge_order) == 2
+        for g in result.transforms:
+            R = g[:3, :3]
+            np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-4)
+            assert np.linalg.det(R) > 0.9
+            np.testing.assert_allclose(g[3], [0, 0, 0, 1], atol=1e-6)
+
     def test_fragment_and_scatter(self):
         from puzzlenet_tpu.assembly import fragment_cloud, scatter_pieces
 

@@ -86,6 +86,8 @@ def main(argv=None):
                         "fragmenting is ~2 s/problem at K=8)")
     p.add_argument("--refine_iters", type=int, default=0,
                    help="pose-refinement forwards per merge")
+    p.add_argument("--icp_iters", type=int, default=0,
+                   help="boundary-ICP iterations per merge")
     args = p.parse_args(argv)
 
     from puzzlenet_tpu.assembly import greedy_assemble
@@ -102,7 +104,8 @@ def main(argv=None):
                                    args.cache_dir)
     t0 = time.perf_counter()
     r = greedy_assemble(model, variables, scattered, pad_to=args.k_max,
-                        refine_iters=args.refine_iters)
+                        refine_iters=args.refine_iters,
+                        icp_iters=args.icp_iters)
     np.asarray(r.assembled)
     print(f"warmup (compile): {time.perf_counter() - t0:.1f}s")
 
@@ -115,7 +118,8 @@ def main(argv=None):
             t0 = time.perf_counter()
             r = greedy_assemble(model, variables, scattered,
                                 pad_to=args.k_max,
-                                refine_iters=args.refine_iters)
+                                refine_iters=args.refine_iters,
+                                icp_iters=args.icp_iters)
             assembled = np.asarray(r.assembled)   # host readback = sync
             walls.append(time.perf_counter() - t0)
 
@@ -163,7 +167,8 @@ def main(argv=None):
         with open(args.out, "w") as f:
             json.dump({"run_dir": args.run_dir, "family": family,
                        "success_cd": args.success_cd,
-                       "refine_iters": args.refine_iters, "rows": rows}, f,
+                       "refine_iters": args.refine_iters,
+                       "icp_iters": args.icp_iters, "rows": rows}, f,
                       indent=2)
         print("wrote", args.out)
     return rows
