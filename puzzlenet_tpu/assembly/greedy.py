@@ -33,10 +33,23 @@ from .icp import icp_align
 
 
 class AssemblyResult(NamedTuple):
-    assembled: np.ndarray        # [num_points, 3] final merged cloud
+    assembled: np.ndarray        # [num_points, 3] merged cloud, in the
+                                 # FIRST input piece's frame (see below)
     merge_order: list            # [(fixed_idx, moved_idx), ...] per round
     transforms: list             # [4, 4] applied to the moved piece per round
     scores: list                 # winning pair score per round
+    piece_transforms: list = ()  # [4, 4] per input piece: its pose in the
+                                 # assembled frame (identity for piece 0)
+
+
+def _pair_tables(k0):
+    """The constant ordered-pair tables for a k0-slot stack: (pairs list,
+    idx_i [P] int32, idx_j [P] int32) with P = k0*(k0-1)."""
+    pairs = [(i, j) for i, j in itertools.product(range(k0), range(k0))
+             if i != j]
+    idx_i = jnp.asarray([i for i, _ in pairs], jnp.int32)
+    idx_j = jnp.asarray([j for _, j in pairs], jnp.int32)
+    return pairs, idx_i, idx_j
 
 
 def _pair_forward(model, variables, fpc, mrpc):
@@ -156,6 +169,12 @@ def greedy_assemble(model, variables, pieces, num_points=None,
     the winning pair's predicted fracture-boundary sets, composed after
     the network pose (assembly/icp.py; cheap [128, 128] geometry, no
     extra network forwards).
+
+    The returned cloud (and ``piece_transforms``) are expressed in the
+    FIRST input piece's frame — piece 0 is the anchor, matching
+    ``scatter_pieces`` and making chamfer-to-original evaluation
+    well-defined regardless of which slot the greedy chain happens to
+    root at.
     """
     stack = jnp.stack([jnp.asarray(p, jnp.float32) for p in pieces])
     k, n = stack.shape[0], stack.shape[1]
@@ -165,13 +184,18 @@ def greedy_assemble(model, variables, pieces, num_points=None,
     if k0 > k:
         stack = jnp.concatenate(
             [stack, jnp.zeros((k0 - k, n, 3), jnp.float32)])
-    pairs = [(i, j) for i, j in itertools.product(range(k0), range(k0))
-             if i != j]
-    idx_i = jnp.asarray([i for i, _ in pairs], jnp.int32)
-    idx_j = jnp.asarray([j for _, j in pairs], jnp.int32)
+    pairs, idx_i, idx_j = _pair_tables(k0)
     active = jnp.arange(k0) < k
 
     merge_order, transforms, win_scores = [], [], []
+    # per ORIGINAL piece: current slot + accumulated pose in the final
+    # cloud's frame. Greedy roots the assembly at an arbitrary surviving
+    # slot; re-expressing through piece 0's accumulated pose puts the
+    # result in the first piece's frame EXACTLY (pure composition, no
+    # estimation) — the frame the anchor convention (scatter_pieces) and
+    # any chamfer-to-original evaluation expect.
+    piece_slot = list(range(k))
+    piece_pose = [np.eye(4, dtype=np.float32) for _ in range(k)]
     for _ in range(k - 1):
         best, twist, score, top_f, top_m = _round_jit(
             model, variables, stack, active, idx_i, idx_j)
@@ -184,9 +208,19 @@ def greedy_assemble(model, variables, pieces, num_points=None,
                                   icp_iters)
         stack, active, mat = _merge_jit(stack, active, i, j, mat)
         merge_order.append((i, j))
-        transforms.append(np.asarray(mat))
+        mat_np = np.asarray(mat)
+        transforms.append(mat_np)
         win_scores.append(float(score))
+        for p in range(k):
+            if piece_slot[p] == j:
+                piece_pose[p] = mat_np @ piece_pose[p]
+                piece_slot[p] = i
 
     final = int(np.argmax(np.asarray(active)))
-    return AssemblyResult(np.asarray(stack[final]), merge_order, transforms,
-                          win_scores)
+    anchor_inv = np.linalg.inv(piece_pose[0])
+    assembled = np.asarray(stack[final])
+    assembled = assembled @ anchor_inv[:3, :3].T + anchor_inv[:3, 3]
+    piece_pose = [np.asarray(anchor_inv @ t, np.float32)
+                  for t in piece_pose]
+    return AssemblyResult(assembled.astype(np.float32), merge_order,
+                          transforms, win_scores, piece_pose)

@@ -1,0 +1,166 @@
+"""Pose-graph (spanning-tree) multi-piece assembly.
+
+The greedy loop (assembly/greedy.py) re-runs the pairwise net on MERGED
+clouds — inputs the net never saw in training (it trains on single-cut
+fragment pairs, dataset.py:1172-1179), so its predictions degrade as the
+assembly grows. The pose-graph form never does that: it scores ALL
+K*(K-1) ordered ORIGINAL-fragment pairs in one batched forward (every
+input in-distribution), builds the minimum-spanning-tree of the pair
+fit scores, and composes the predicted rigid motions along the tree —
+each piece is placed by pure pose composition, no re-merging, no
+re-FPS-ing, no second-generation network inputs.
+
+The reference has no multi-piece code at all (its README.md:14 describes
+the behavior); both assemblers here are beyond-reference capability.
+
+TPU shape discipline matches greedy: ONE compiled scoring program over a
+fixed padded pair axis (inactive pairs masked to +inf on device) serves
+every K <= pad_to; composition and MST run on host (K <= 8 — trivial);
+one more fixed-shape jit does the final union + masked FPS.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import farthest_point_sample
+from ..semath import se3
+from .greedy import (AssemblyResult, _icp_refine_jit, _pair_forward,
+                     _pair_tables, _refine_jit)
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _score_all_jit(model, variables, stack, active, idx_i, idx_j):
+    """Score every ordered slot pair in one batched forward. Returns
+    (mats [P, 4, 4], scores [P], top_f [P, 128], top_m [P, 128]);
+    inactive pairs score +inf."""
+    twists, scores, top_f, top_m = _pair_forward(model, variables,
+                                                 stack[idx_i], stack[idx_j])
+    valid = active[idx_i] & active[idx_j]
+    scores = jnp.where(valid, scores, jnp.inf)
+    return se3.exp(twists), scores, top_f, top_m
+
+
+@jax.jit
+def _union_fps_jit(stack, poses, active):
+    """Pose every slot, take the masked FPS of the union back to N.
+
+    stack [K0, N, 3], poses [K0, 4, 4], active [K0] -> [N, 3]."""
+    posed = se3.transform_points(poses, stack)               # [K0, N, 3]
+    pts = posed.reshape(-1, 3)
+    mask = jnp.repeat(active, stack.shape[1])
+    sel = farthest_point_sample(pts[None], stack.shape[1],
+                                valid_mask=mask[None])[0]
+    return pts[sel]
+
+
+def _mst(k, weight):
+    """Kruskal over the complete graph on ``k`` nodes; ``weight(i, j)``
+    for i < j. Returns the k-1 tree edges [(i, j), ...]."""
+    parent = list(range(k))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edges = sorted(((weight(i, j), i, j)
+                    for i in range(k) for j in range(i + 1, k)))
+    tree = []
+    for _, i, j in edges:
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[ri] = rj
+            tree.append((i, j))
+            if len(tree) == k - 1:
+                break
+    return tree
+
+
+def spanning_assemble(model, variables, pieces, num_points=None,
+                      pad_to=None, refine_iters=0, icp_iters=0):
+    """Assemble K fragments by pose-graph composition over the pair-score
+    minimum spanning tree (module docstring). Same contract as
+    ``greedy_assemble``: fragments [K, N, 3] (or list of [N, 3]) sharing
+    N; result expressed in the FIRST piece's frame (the anchor).
+
+    ``pad_to``: fixed slot count — one compiled scoring program serves
+    every K <= pad_to. ``refine_iters``: per-tree-edge extra forwards of
+    the pairwise net on the aligned pair (in-distribution by
+    construction). ``icp_iters``: per-edge boundary-ICP polish
+    (assembly/icp.py; hurts on rotationally-near-symmetric fracture rims
+    — see PERFORMANCE.md — so it is off by default).
+
+    Returns ``AssemblyResult`` with ``merge_order`` = the tree edges
+    (parent, child), ``transforms``/``scores`` per edge, and
+    ``piece_transforms`` the composed per-piece poses.
+    """
+    stack = jnp.stack([jnp.asarray(p, jnp.float32) for p in pieces])
+    k, n = stack.shape[0], stack.shape[1]
+    if num_points is not None and num_points != n:
+        raise ValueError(f"pieces have {n} points, expected {num_points}")
+    k0 = max(k, pad_to or 0)
+    if k0 > k:
+        stack = jnp.concatenate(
+            [stack, jnp.zeros((k0 - k, n, 3), jnp.float32)])
+    pairs, idx_i, idx_j = _pair_tables(k0)
+    pos = {ij: p for p, ij in enumerate(pairs)}
+    active = jnp.arange(k0) < k
+
+    mats, scores, top_f, top_m = _score_all_jit(
+        model, variables, stack, active, idx_i, idx_j)
+    scores_np = np.asarray(scores)
+
+    # undirected edge weight = the better of the two orderings
+    def weight(i, j):
+        return min(scores_np[pos[(i, j)]], scores_np[pos[(j, i)]])
+
+    tree = _mst(k, weight)
+
+    # BFS-compose from the anchor (piece 0): the anchor frame falls out
+    # of the composition with no correction step
+    adj = {i: [] for i in range(k)}
+    for i, j in tree:
+        adj[i].append(j)
+        adj[j].append(i)
+    poses = [None] * k
+    poses[0] = np.eye(4, dtype=np.float32)
+    order, edge_mats, edge_scores = [], [], []
+    frontier = [0]
+    while frontier:
+        parentn = frontier.pop()
+        for child in adj[parentn]:
+            if poses[child] is not None:
+                continue
+            # direction: prefer the ordering with the lower fit score;
+            # the net's mat maps its moved (second) piece into its fixed
+            # (first) piece's frame
+            fwd_p = pos[(parentn, child)]       # fixed=parent, moved=child
+            rev_p = pos[(child, parentn)]
+            if scores_np[fwd_p] <= scores_np[rev_p]:
+                p_sel, i_sl, j_sl, invert = fwd_p, parentn, child, False
+            else:
+                p_sel, i_sl, j_sl, invert = rev_p, child, parentn, True
+            mat = mats[p_sel]
+            for _ in range(refine_iters):
+                mat = _refine_jit(model, variables, stack, i_sl, j_sl, mat)
+            if icp_iters:
+                mat = _icp_refine_jit(stack, i_sl, j_sl, top_f[p_sel],
+                                      top_m[p_sel], mat, icp_iters)
+            m = np.asarray(mat)
+            if invert:
+                m = np.linalg.inv(m).astype(np.float32)
+            poses[child] = (poses[parentn] @ m).astype(np.float32)
+            order.append((parentn, child))
+            edge_mats.append(m)
+            edge_scores.append(float(scores_np[p_sel]))
+            frontier.append(child)
+
+    poses_full = np.stack(poses + [np.eye(4, dtype=np.float32)] * (k0 - k))
+    assembled = np.asarray(_union_fps_jit(stack, jnp.asarray(poses_full),
+                                          active))
+    return AssemblyResult(assembled, order, edge_mats, edge_scores,
+                          [np.asarray(t) for t in poses])

@@ -194,22 +194,25 @@ class Session:
             "mrpc_boundary_mask": topk_mask(pm),
         }
 
-    def assemble(self, pieces, pad_to=8, refine_iters=0, icp_iters=0):
-        """Multi-piece greedy reassembly with this session's weights.
+    def assemble(self, pieces, pad_to=8, refine_iters=0, icp_iters=0,
+                 algo="spanning"):
+        """Multi-piece reassembly with this session's weights.
 
-        ``pad_to``: fixed slot-stack size — one compiled program pair
+        ``algo``: ``"spanning"`` (pose-graph over the pair-score minimum
+        spanning tree — every net forward on original in-distribution
+        fragment pairs) or ``"greedy"`` (iterative re-merging).
+        ``pad_to``: fixed slot-stack size — one compiled program set
         serves every K <= pad_to across calls (serving-friendly; set to
         None/0 to compile exactly-K programs instead).
-        ``refine_iters``/``icp_iters``: per-merge pose polish — extra
-        network forwards on the aligned pair / boundary-ICP iterations
-        (see assembly.greedy_assemble)."""
-        from .assembly import greedy_assemble
+        ``refine_iters``/``icp_iters``: per-merge/per-edge pose polish —
+        extra network forwards on the aligned pair / boundary-ICP
+        iterations (see assembly.greedy_assemble)."""
+        from .assembly import greedy_assemble, spanning_assemble
 
-        return greedy_assemble(self.model, self.variables, pieces,
-                               num_points=self.num_points,
-                               pad_to=pad_to or None,
-                               refine_iters=refine_iters,
-                               icp_iters=icp_iters)
+        fn = spanning_assemble if algo == "spanning" else greedy_assemble
+        return fn(self.model, self.variables, pieces,
+                  num_points=self.num_points, pad_to=pad_to or None,
+                  refine_iters=refine_iters, icp_iters=icp_iters)
 
 
 @functools.lru_cache(maxsize=4)

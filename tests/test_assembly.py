@@ -45,6 +45,34 @@ class TestAssembly:
         for g in result.transforms:
             assert g.shape == (4, 4)
             np.testing.assert_allclose(g[3], [0, 0, 0, 1], atol=1e-6)
+        # anchor-frame contract: piece 0's pose is identity, every other
+        # piece gets a rigid pose in that frame
+        assert len(result.piece_transforms) == 3
+        np.testing.assert_allclose(result.piece_transforms[0], np.eye(4),
+                                   atol=1e-5)
+        for t in result.piece_transforms:
+            R = t[:3, :3]
+            np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-4)
+
+    def test_anchor_frame_bookkeeping(self, model_and_pieces):
+        """piece_transforms reproduce the assembled cloud: applying each
+        piece's pose to its input points lands inside the assembly's
+        bounding region (the assembled cloud is an FPS subsample of the
+        union of posed pieces)."""
+        from puzzlenet_tpu.ops import chamfer_distances
+        import jax.numpy as jnp
+
+        model, variables, pieces = model_and_pieces
+        result = greedy_assemble(model, variables, pieces, num_points=N)
+        posed = np.concatenate([
+            p @ t[:3, :3].T + t[:3, 3]
+            for p, t in zip(pieces, result.piece_transforms)])
+        # every assembled point came from the posed union (FPS selects a
+        # subset) -> one-sided distance assembled->posed is ~0
+        # (chamfer_distances returns (d_per_b, d_per_a))
+        _, d_asm = chamfer_distances(jnp.asarray(result.assembled)[None],
+                                     jnp.asarray(posed)[None])
+        assert float(jnp.max(d_asm)) < 1e-6
 
     def test_greedy_assemble_compile_stable(self, model_and_pieces):
         """The whole K -> 1 loop reuses exactly two compilations (round
@@ -110,6 +138,52 @@ class TestAssembly:
             np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-4)
             assert np.linalg.det(R) > 0.9
             np.testing.assert_allclose(g[3], [0, 0, 0, 1], atol=1e-6)
+
+    def test_spanning_assemble(self, model_and_pieces):
+        """Pose-graph assembly: k-1 tree edges, anchor-frame contract,
+        rigid poses, assembled cloud is a subset of the posed union."""
+        from puzzlenet_tpu.assembly import spanning_assemble
+        from puzzlenet_tpu.ops import chamfer_distances
+        import jax.numpy as jnp
+
+        model, variables, pieces = model_and_pieces
+        r = spanning_assemble(model, variables, pieces, num_points=N)
+        assert r.assembled.shape == (N, 3)
+        assert len(r.merge_order) == 2 and len(r.transforms) == 2
+        # tree reaches every piece exactly once from the anchor
+        children = [c for _, c in r.merge_order]
+        assert sorted(children) == [1, 2]
+        np.testing.assert_allclose(r.piece_transforms[0], np.eye(4),
+                                   atol=1e-6)
+        for t in r.piece_transforms:
+            R = t[:3, :3]
+            np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-4)
+        posed = np.concatenate([
+            p @ t[:3, :3].T + t[:3, 3]
+            for p, t in zip(pieces, r.piece_transforms)])
+        _, d_asm = chamfer_distances(jnp.asarray(r.assembled)[None],
+                                     jnp.asarray(posed)[None])
+        assert float(jnp.max(d_asm)) < 1e-6
+
+    def test_spanning_pad_to_compile_stable(self, model_and_pieces):
+        """One compiled scoring + union program serves every K <= pad_to;
+        padded dummy slots never appear in the tree."""
+        from puzzlenet_tpu.assembly import spanning, spanning_assemble
+
+        model, variables, pieces = model_and_pieces
+        p = pieces[2]
+        four = [pieces[0], pieces[1],
+                np.concatenate([p[:N // 2], p[:N // 2]]),
+                np.concatenate([p[N // 2:], p[N // 2:]])]
+        base_score = spanning._score_all_jit._cache_size()
+        base_union = spanning._union_fps_jit._cache_size()
+        r3 = spanning_assemble(model, variables, pieces, pad_to=4)
+        r4 = spanning_assemble(model, variables, four, pad_to=4)
+        assert len(r3.merge_order) == 2 and len(r4.merge_order) == 3
+        assert spanning._score_all_jit._cache_size() - base_score <= 1
+        assert spanning._union_fps_jit._cache_size() - base_union <= 1
+        touched = {i for ij in r3.merge_order for i in ij}
+        assert touched <= {0, 1, 2}
 
     def test_icp_align_recovers_rigid_transform(self):
         """icp_align recovers a moderate known rigid motion between two

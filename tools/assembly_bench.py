@@ -88,24 +88,29 @@ def main(argv=None):
                    help="pose-refinement forwards per merge")
     p.add_argument("--icp_iters", type=int, default=0,
                    help="boundary-ICP iterations per merge")
+    p.add_argument("--algo", choices=("greedy", "spanning"),
+                   default="greedy",
+                   help="greedy re-merging vs pose-graph spanning tree")
     args = p.parse_args(argv)
 
-    from puzzlenet_tpu.assembly import greedy_assemble
+    from puzzlenet_tpu.assembly import greedy_assemble, spanning_assemble
     from puzzlenet_tpu.data.augment import fps_np
     from puzzlenet_tpu.data.registry import _NAMES
     from puzzlenet_tpu.ops import chamfer_loss
 
     model, variables, cfg = load_model(args.run_dir, args.num_points)
     family = args.family or _NAMES.get(cfg.dataset, (None, "vase"))[1]
-    print(f"model: {args.run_dir} (dataset={cfg.dataset}, family={family})")
+    print(f"model: {args.run_dir} (dataset={cfg.dataset}, family={family}, "
+          f"algo={args.algo})")
+    assemble = (spanning_assemble if args.algo == "spanning"
+                else greedy_assemble)
 
     # warmup: compile the padded-8 program pair once (K=k_max slots)
     cloud, scattered = one_problem(family, 0, args.k_min, args.num_points,
                                    args.cache_dir)
     t0 = time.perf_counter()
-    r = greedy_assemble(model, variables, scattered, pad_to=args.k_max,
-                        refine_iters=args.refine_iters,
-                        icp_iters=args.icp_iters)
+    r = assemble(model, variables, scattered, pad_to=args.k_max,
+                 refine_iters=args.refine_iters, icp_iters=args.icp_iters)
     np.asarray(r.assembled)
     print(f"warmup (compile): {time.perf_counter() - t0:.1f}s")
 
@@ -116,10 +121,10 @@ def main(argv=None):
             cloud, scattered = one_problem(family, seed, k,
                                            args.num_points, args.cache_dir)
             t0 = time.perf_counter()
-            r = greedy_assemble(model, variables, scattered,
-                                pad_to=args.k_max,
-                                refine_iters=args.refine_iters,
-                                icp_iters=args.icp_iters)
+            r = assemble(model, variables, scattered,
+                         pad_to=args.k_max,
+                         refine_iters=args.refine_iters,
+                         icp_iters=args.icp_iters)
             assembled = np.asarray(r.assembled)   # host readback = sync
             walls.append(time.perf_counter() - t0)
 
@@ -166,7 +171,7 @@ def main(argv=None):
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"run_dir": args.run_dir, "family": family,
-                       "success_cd": args.success_cd,
+                       "success_cd": args.success_cd, "algo": args.algo,
                        "refine_iters": args.refine_iters,
                        "icp_iters": args.icp_iters, "rows": rows}, f,
                       indent=2)
