@@ -88,6 +88,13 @@ class Config:
     bnd_ce_w: float = 1.0                    # boundary-CE positive-class
                                              # weight (128/1024 imbalance)
     bnd_cd_w: float = 1.0                    # boundary-chamfer/EMD weight
+    frag_cuts: int = 0                       # device-data path: pre-restrict
+                                             # each cloud to a random
+                                             # sub-fragment via r ~ U{0..n}
+                                             # keep-one-side cuts before the
+                                             # pair cut — trains at K-piece
+                                             # assembly fragment sizes
+                                             # (data/device_pipeline.py)
     log_every: int = 50                      # scalar-log cadence (steps)
     save_every: int = 1000                   # device-data ckpt cadence
     viz_every: int = 500                     # TB mesh/attention cadence

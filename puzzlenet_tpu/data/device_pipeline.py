@@ -124,6 +124,32 @@ def _partition(key, cloud, cut, npoint, valid=None):
     return jnp.where(ok, up, fb), ok
 
 
+def _precut_valid(key, cloud, cut, npoint, frag_cuts):
+    """Restrict one cloud to a random sub-fragment before the pair cut.
+
+    Applies r ~ U{0..frag_cuts} successive keep-one-side cuts (each side
+    gated to >= 2*npoint so the final pair cut still yields two full
+    pieces); a round whose cut fails the size gate is skipped, leaving
+    ``valid`` unchanged. Purpose: the pairwise net otherwise only ever
+    trains on halves/thirds of whole clouds, while K-piece reassembly
+    (assembly/) feeds it 1/K-sized fragments — far off-distribution for
+    K >= 4. Sampling r uniformly keeps whole-cloud pairs in the mix.
+    Beyond-reference (the reference trains on 2-3-way cuts only,
+    dataset.py:1203-1354)."""
+    m = cloud.shape[0]
+    valid = jnp.ones(m, bool)
+    ks = jax.random.split(key, 2 * frag_cuts + 1)
+    r = jax.random.randint(ks[0], (), 0, frag_cuts + 1)
+    for i in range(frag_cuts):
+        up, ok = _partition(ks[2 * i + 1], cloud, cut, 2 * npoint,
+                            valid=valid)
+        keep_up = jax.random.bernoulli(ks[2 * i + 2])
+        side = jnp.where(keep_up, up, valid & ~up)
+        ok = ok & (jnp.sum(side) >= 2 * npoint) & (i < r)
+        valid = jnp.where(ok, side, valid)
+    return valid
+
+
 def _masked_fps_points(xyz, mask, npoint):
     """Batched FPS restricted to masked points: xyz [B, M, 3],
     mask [B, M] -> gathered [B, npoint, 3]. On TPU this is one fused
@@ -185,14 +211,18 @@ def _twice_masks(ks, cloud, cut, npoint):
 
 
 @functools.partial(jax.jit, static_argnames=("npoint", "boundary_k", "mag",
-                                             "cut", "split_twice"))
+                                             "cut", "split_twice",
+                                             "frag_cuts"))
 def make_batch(key, clouds, npoint=NPOINT, boundary_k=128, mag=0.8,
-               cut="plane", split_twice=False):
+               cut="plane", split_twice=False, frag_cuts=0):
     """clouds [B, M, 3] on device -> Batch (the 8-tuple contract).
 
     ``cut`` selects the slicing primitive (matching the category registry's
     slicer assignment); ``split_twice`` enables the second-cut scheme
-    (dataset.py:1203-1354, = the --random_slice flag).
+    (dataset.py:1203-1354, = the --random_slice flag); ``frag_cuts`` > 0
+    pre-restricts each cloud to a random sub-fragment before the pair cut
+    (see _precut_valid — trains the net at K-piece fragment sizes;
+    single-cut path only).
     """
     B = clouds.shape[0]
     keys = jax.random.split(key, B * 8).reshape(B, 8, 2)
@@ -201,9 +231,14 @@ def make_batch(key, clouds, npoint=NPOINT, boundary_k=128, mag=0.8,
     # expensive masked FPS runs batched so the whole batch is one fused
     # Pallas kernel call per piece side
     if not split_twice:
-        up_mask = jax.vmap(
-            lambda c, ks: _partition(ks[0], c, cut, npoint)[0])(clouds, keys)
-        up, down = _masked_fps_multi(clouds, [up_mask, ~up_mask], npoint)
+        def per_cloud_sides(c, ks):
+            valid = (_precut_valid(ks[5], c, cut, npoint, frag_cuts)
+                     if frag_cuts else jnp.ones(c.shape[0], bool))
+            u, _ = _partition(ks[0], c, cut, npoint, valid=valid)
+            return u, valid & ~u
+
+        up_mask, down_mask = jax.vmap(per_cloud_sides)(clouds, keys)
+        up, down = _masked_fps_multi(clouds, [up_mask, down_mask], npoint)
     else:
         def per_cloud_masks(cloud, ks):
             moved_m, fixed_m, need_check, use_single = _twice_masks(

@@ -383,7 +383,8 @@ class Trainer:
             sel = jax.random.choice(k_sel, n_clouds, (cfg.batch_size,),
                                     replace=n_clouds < cfg.batch_size)
             batch = make_batch(k_batch, clouds[sel], npoint=cfg.num_points,
-                               cut=cut, split_twice=split_twice)
+                               cut=cut, split_twice=split_twice,
+                               frag_cuts=cfg.frag_cuts)
             return train_step(self.model, self.tx, self.flags, pretrain,
                               state, batch)
 
@@ -403,7 +404,8 @@ class Trainer:
         first = shard_batch(self.mesh, jax.jit(
             lambda k: make_batch(k, clouds[:cfg.batch_size],
                                  npoint=cfg.num_points, cut=cut,
-                                 split_twice=split_twice))(key))
+                                 split_twice=split_twice,
+                                 frag_cuts=cfg.frag_cuts))(key))
         state = self.init_state(first)
         if cfg.resume:
             state = self.restore_checkpoint(state, cfg.resume)

@@ -82,6 +82,48 @@ class TestCutTypes:
         assert not np.allclose(outs["cylinder"], outs["cone"])
 
 
+class TestFragCuts:
+    def test_contract_and_distribution(self, clouds):
+        """frag_cuts keeps the batch contract (disjoint subsets of the
+        source cloud) and shifts the piece-size distribution: with
+        pre-cuts, pair pieces cover a smaller region of the cloud on
+        average than the plain one-cut pieces."""
+        cl = jnp.asarray(clouds)
+        plain = make_batch(jax.random.PRNGKey(5), cl, npoint=NPOINT,
+                           boundary_k=K, cut="plane")
+        frag = make_batch(jax.random.PRNGKey(5), cl, npoint=NPOINT,
+                          boundary_k=K, cut="plane", frag_cuts=2)
+        assert frag.fpc.shape == plain.fpc.shape
+        for i in range(2):
+            fpc = np.asarray(frag.fpc[i])
+            rpc = np.asarray(frag.rpc[i])
+            assert _piece_in_cloud(fpc, clouds[i])
+            assert _piece_in_cloud(rpc, clouds[i])
+            d = ((fpc[:, None] - rpc[None]) ** 2).sum(-1)
+            assert d.min() > 0
+
+        def mean_extent(b):
+            pts = np.asarray(b.fpc)
+            return (pts.max(1) - pts.min(1)).mean()
+
+        # over many keys the pre-cut pieces are smaller on average
+        ext_p = np.mean([mean_extent(make_batch(
+            jax.random.PRNGKey(s), cl, npoint=NPOINT, boundary_k=K,
+            cut="plane")) for s in range(6)])
+        ext_f = np.mean([mean_extent(make_batch(
+            jax.random.PRNGKey(s), cl, npoint=NPOINT, boundary_k=K,
+            cut="plane", frag_cuts=2)) for s in range(6)])
+        assert ext_f < ext_p
+
+    def test_determinism(self, clouds):
+        cl = jnp.asarray(clouds)
+        a = make_batch(jax.random.PRNGKey(9), cl, npoint=NPOINT,
+                       boundary_k=K, cut="plane", frag_cuts=2)
+        b = make_batch(jax.random.PRNGKey(9), cl, npoint=NPOINT,
+                       boundary_k=K, cut="plane", frag_cuts=2)
+        np.testing.assert_array_equal(np.asarray(a.fpc), np.asarray(b.fpc))
+
+
 class TestSplitTwice:
     def test_contract(self, clouds):
         batch = make_batch(jax.random.PRNGKey(11), jnp.asarray(clouds),
