@@ -4,7 +4,8 @@ from .fragment import fragment_cloud, scatter_pieces
 from .greedy import AssemblyResult, greedy_assemble, score_pairs
 from .icp import icp_align
 from .spanning import spanning_assemble
+from .sync import sync_assemble, synchronize_poses
 
-__all__ = ["greedy_assemble", "spanning_assemble", "score_pairs",
-           "AssemblyResult", "fragment_cloud", "scatter_pieces",
-           "icp_align"]
+__all__ = ["greedy_assemble", "spanning_assemble", "sync_assemble",
+           "synchronize_poses", "score_pairs", "AssemblyResult",
+           "fragment_cloud", "scatter_pieces", "icp_align"]

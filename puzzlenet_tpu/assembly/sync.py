@@ -1,0 +1,188 @@
+"""Global pose synchronization for multi-piece assembly.
+
+Third assembler (after greedy re-merging and the MST pose-graph): use
+EVERY reliable pairwise measurement at once. The spanning tree composes
+exactly K-1 of the K*(K-1) predictions, so one bad edge corrupts a whole
+subtree; synchronization solves for the K absolute poses that best agree
+with the full weighted measurement graph — the redundancy averages out
+per-edge error (classic rotation averaging / pose-graph optimization,
+here closed-form since K <= ~8):
+
+* rotations: spectral relative-rotation synchronization — leading three
+  eigenvectors of the score-weighted block matrix of measured R_ij,
+  projected back to SO(3) per piece (Arie-Nachimson & Singer form);
+* translations: weighted linear least squares of
+  R_i t_ij + t_i = t_j given the synchronized rotations;
+* gauge fixed at piece 0 (the anchor convention).
+
+Host numpy solves (3K x 3K eig, 3K x 3K LS — microseconds); the one
+device program is the same batched pair-scoring forward the other
+assemblers share (greedy._pair_forward), so pad_to compile-stability
+carries over unchanged.
+"""
+
+import numpy as np
+
+from .greedy import AssemblyResult
+
+
+def _project_so3(M):
+    """Nearest rotation to a 3x3 block (SVD with det fixup)."""
+    U, _, Vt = np.linalg.svd(M)
+    R = U @ Vt
+    if np.linalg.det(R) < 0:
+        U[:, -1] = -U[:, -1]
+        R = U @ Vt
+    return R
+
+
+def synchronize_poses(k, edges):
+    """Solve absolute poses from relative measurements.
+
+    ``edges``: list of (i, j, M, w) — M [4, 4] maps piece-j coordinates
+    into piece-i coordinates (the pairwise net's fixed/moved convention),
+    w > 0 its confidence weight. Every piece must be reachable from
+    piece 0 through the edge set. Returns k [4, 4] poses with pose[0]
+    = identity.
+    """
+    # --- rotation synchronization (spectral) ---
+    A = np.zeros((3 * k, 3 * k))
+    deg = np.zeros(k)
+    for i, j, M, w in edges:
+        R = M[:3, :3]
+        A[3 * i:3 * i + 3, 3 * j:3 * j + 3] += w * R
+        A[3 * j:3 * j + 3, 3 * i:3 * i + 3] += w * R.T
+        deg[i] += w
+        deg[j] += w
+    # normalized: the leading three eigenvectors of D^-1 A stack
+    # V_i ~= R_i^T Q (A's blocks are R_ij = R_i^T R_j, so V_j = R_j^T Q
+    # is a fixed point); the gauged absolute rotation is
+    # R_0^T R_i = V_0 V_i^T, which also cancels the global O(3)
+    # ambiguity Q (including an improper/reflection component — both
+    # factors carry it)
+    d = np.repeat(np.maximum(deg, 1e-12), 3)
+    _, vecs = np.linalg.eigh(A / d[:, None])
+    V = vecs[:, -3:]                                  # [3k, 3]
+    R0 = _project_so3(V[0:3])
+    rots = [R0 @ _project_so3(V[3 * i:3 * i + 3]).T for i in range(k)]
+
+    # --- translation least squares ---
+    # constraint per edge: t_i - t_j + R_i t_ij = 0, gauge t_0 = 0
+    rows, rhs, ws = [], [], []
+    for i, j, M, w in edges:
+        row = np.zeros((3, 3 * k))
+        row[:, 3 * i:3 * i + 3] = np.eye(3)
+        row[:, 3 * j:3 * j + 3] = -np.eye(3)
+        rows.append(row)
+        rhs.append(-rots[i] @ M[:3, 3])
+        ws.append(w)
+    # gauge row
+    g = np.zeros((3, 3 * k))
+    g[:, :3] = np.eye(3)
+    rows.append(g)
+    rhs.append(np.zeros(3))
+    ws.append(max(ws) if ws else 1.0)
+    Amat = np.concatenate([np.sqrt(w) * r for r, w in zip(rows, ws)])
+    b = np.concatenate([np.sqrt(w) * v for v, w in zip(rhs, ws)])
+    t, *_ = np.linalg.lstsq(Amat, b, rcond=None)
+    t = t.reshape(k, 3)
+    t = t - t[0]
+
+    poses = []
+    for i in range(k):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = rots[i]
+        T[:3, 3] = t[i]
+        poses.append(T)
+    return poses
+
+
+def _edge_selection(k, scores_np, pos, keep_frac=0.6):
+    """Per undirected pair: the better-scoring direction; keep the
+    best ``keep_frac`` of pairs (at least a spanning set — union with
+    the MST so the graph stays connected)."""
+    from .spanning import _mst
+
+    cands = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            sf, sr = scores_np[pos[(i, j)]], scores_np[pos[(j, i)]]
+            if sf <= sr:
+                cands.append((sf, i, j, pos[(i, j)], False))
+            else:
+                cands.append((sr, i, j, pos[(j, i)], True))
+    cands.sort()
+    n_keep = max(k - 1, int(round(keep_frac * len(cands))))
+    kept = {(i, j): (p, inv, s) for s, i, j, p, inv in cands[:n_keep]}
+    # guarantee connectivity: union with the MST over all pairs
+    tree = _mst(k, lambda a, b: min(scores_np[pos[(a, b)]],
+                                    scores_np[pos[(b, a)]]))
+    for i, j in tree:
+        if (i, j) not in kept:
+            s, p, inv = ((scores_np[pos[(i, j)]], pos[(i, j)], False)
+                         if scores_np[pos[(i, j)]] <= scores_np[pos[(j, i)]]
+                         else (scores_np[pos[(j, i)]], pos[(j, i)], True))
+            kept[(i, j)] = (p, inv, s)
+    return kept
+
+
+def sync_assemble(model, variables, pieces, num_points=None, pad_to=None,
+                  refine_iters=0, icp_iters=0, keep_frac=0.6):
+    """Assemble K fragments by global pose synchronization over the
+    score-weighted pairwise measurement graph (module docstring). Same
+    contract as the other assemblers: result in the FIRST piece's frame.
+
+    ``keep_frac``: fraction of undirected pairs (best direction each)
+    fed to the solver; the MST is always unioned in so the graph stays
+    connected. ``refine_iters``/``icp_iters`` polish each kept edge
+    exactly as in spanning_assemble.
+    """
+    import jax.numpy as jnp
+
+    from .greedy import _icp_refine_jit, _pair_tables, _refine_jit
+    from .spanning import _score_all_jit, _union_fps_jit
+
+    stack = jnp.stack([jnp.asarray(p, jnp.float32) for p in pieces])
+    k, n = stack.shape[0], stack.shape[1]
+    if num_points is not None and num_points != n:
+        raise ValueError(f"pieces have {n} points, expected {num_points}")
+    k0 = max(k, pad_to or 0)
+    if k0 > k:
+        stack = jnp.concatenate(
+            [stack, jnp.zeros((k0 - k, n, 3), jnp.float32)])
+    pairs, idx_i, idx_j = _pair_tables(k0)
+    pos = {ij: p for p, ij in enumerate(pairs)}
+    active = jnp.arange(k0) < k
+
+    mats, scores, top_f, top_m = _score_all_jit(
+        model, variables, stack, active, idx_i, idx_j)
+    scores_np = np.asarray(scores)
+
+    kept = _edge_selection(k, scores_np, pos, keep_frac)
+    edges, order, edge_mats, edge_scores = [], [], [], []
+    for (i, j), (p_sel, inv, s) in sorted(kept.items(),
+                                          key=lambda kv: kv[1][2]):
+        i_sl, j_sl = (j, i) if inv else (i, j)       # fixed, moved slots
+        mat = mats[p_sel]
+        for _ in range(refine_iters):
+            mat = _refine_jit(model, variables, stack, i_sl, j_sl, mat)
+        if icp_iters:
+            mat = _icp_refine_jit(stack, i_sl, j_sl, top_f[p_sel],
+                                  top_m[p_sel], mat, icp_iters)
+        m = np.asarray(mat)
+        if inv:
+            m = np.linalg.inv(m).astype(np.float32)
+        # inverse-score weight, relative to the best edge
+        w = 1.0 / (float(s) + 1e-3)
+        edges.append((i, j, m, w))
+        order.append((i, j))
+        edge_mats.append(m)
+        edge_scores.append(float(s))
+
+    poses = synchronize_poses(k, edges)
+    poses_full = np.stack(
+        poses + [np.eye(4, dtype=np.float32)] * (k0 - k))
+    assembled = np.asarray(_union_fps_jit(
+        stack, jnp.asarray(poses_full), active))
+    return AssemblyResult(assembled, order, edge_mats, edge_scores,
+                          [np.asarray(t) for t in poses])

@@ -199,17 +199,20 @@ class Session:
         """Multi-piece reassembly with this session's weights.
 
         ``algo``: ``"spanning"`` (pose-graph over the pair-score minimum
-        spanning tree — every net forward on original in-distribution
-        fragment pairs) or ``"greedy"`` (iterative re-merging).
+        spanning tree), ``"sync"`` (global pose synchronization over all
+        reliable pair measurements), or ``"greedy"`` (iterative
+        re-merging).
         ``pad_to``: fixed slot-stack size — one compiled program set
         serves every K <= pad_to across calls (serving-friendly; set to
         None/0 to compile exactly-K programs instead).
         ``refine_iters``/``icp_iters``: per-merge/per-edge pose polish —
         extra network forwards on the aligned pair / boundary-ICP
         iterations (see assembly.greedy_assemble)."""
-        from .assembly import greedy_assemble, spanning_assemble
+        from .assembly import (greedy_assemble, spanning_assemble,
+                               sync_assemble)
 
-        fn = spanning_assemble if algo == "spanning" else greedy_assemble
+        fn = {"greedy": greedy_assemble, "spanning": spanning_assemble,
+              "sync": sync_assemble}[algo]
         return fn(self.model, self.variables, pieces,
                   num_points=self.num_points, pad_to=pad_to or None,
                   refine_iters=refine_iters, icp_iters=icp_iters)

@@ -185,6 +185,59 @@ class TestAssembly:
         touched = {i for ij in r3.merge_order for i in ij}
         assert touched <= {0, 1, 2}
 
+    def test_synchronize_poses_recovers_ground_truth(self):
+        """Pure-math solver check: noisy relative measurements of known
+        absolute poses -> synchronized poses within the noise floor."""
+        from scipy.spatial.transform import Rotation
+
+        from puzzlenet_tpu.assembly.sync import synchronize_poses
+
+        rng = np.random.default_rng(3)
+        k = 6
+        gt = [np.eye(4)]
+        for _ in range(k - 1):
+            T = np.eye(4)
+            T[:3, :3] = Rotation.random(random_state=rng).as_matrix()
+            T[:3, 3] = rng.normal(scale=0.5, size=3)
+            gt.append(T)
+        edges = []
+        for i in range(k):
+            for j in range(i + 1, k):
+                M = np.linalg.inv(gt[i]) @ gt[j]      # T_i M_ij = T_j
+                noise = np.eye(4)
+                noise[:3, :3] = Rotation.from_rotvec(
+                    rng.normal(scale=0.01, size=3)).as_matrix()
+                noise[:3, 3] = rng.normal(scale=0.005, size=3)
+                edges.append((i, j, M @ noise, 1.0))
+        poses = synchronize_poses(k, edges)
+        np.testing.assert_allclose(poses[0], np.eye(4), atol=1e-6)
+        for p, g in zip(poses, gt):
+            np.testing.assert_allclose(p[:3, :3], g[:3, :3], atol=0.03)
+            np.testing.assert_allclose(p[:3, 3], g[:3, 3], atol=0.03)
+
+    def test_sync_assemble(self, model_and_pieces):
+        """End-to-end sync assembler: anchor frame, rigid poses, output
+        is a subset of the posed union."""
+        from puzzlenet_tpu.assembly import sync_assemble
+        from puzzlenet_tpu.ops import chamfer_distances
+        import jax.numpy as jnp
+
+        model, variables, pieces = model_and_pieces
+        r = sync_assemble(model, variables, pieces, num_points=N)
+        assert r.assembled.shape == (N, 3)
+        np.testing.assert_allclose(r.piece_transforms[0], np.eye(4),
+                                   atol=1e-5)
+        for t in r.piece_transforms:
+            R = t[:3, :3]
+            np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-4)
+            assert np.linalg.det(R) > 0.9
+        posed = np.concatenate([
+            p @ t[:3, :3].T + t[:3, 3]
+            for p, t in zip(pieces, r.piece_transforms)])
+        _, d_asm = chamfer_distances(jnp.asarray(r.assembled)[None],
+                                     jnp.asarray(posed)[None])
+        assert float(jnp.max(d_asm)) < 1e-6
+
     def test_icp_align_recovers_rigid_transform(self):
         """icp_align recovers a moderate known rigid motion between two
         noisy samplings of the same surface patch."""

@@ -88,12 +88,14 @@ def main(argv=None):
                    help="pose-refinement forwards per merge")
     p.add_argument("--icp_iters", type=int, default=0,
                    help="boundary-ICP iterations per merge")
-    p.add_argument("--algo", choices=("greedy", "spanning"),
+    p.add_argument("--algo", choices=("greedy", "spanning", "sync"),
                    default="greedy",
-                   help="greedy re-merging vs pose-graph spanning tree")
+                   help="greedy re-merging / MST pose graph / global "
+                        "pose synchronization")
     args = p.parse_args(argv)
 
-    from puzzlenet_tpu.assembly import greedy_assemble, spanning_assemble
+    from puzzlenet_tpu.assembly import (greedy_assemble, spanning_assemble,
+                                        sync_assemble)
     from puzzlenet_tpu.data.augment import fps_np
     from puzzlenet_tpu.data.registry import _NAMES
     from puzzlenet_tpu.ops import chamfer_loss
@@ -102,8 +104,8 @@ def main(argv=None):
     family = args.family or _NAMES.get(cfg.dataset, (None, "vase"))[1]
     print(f"model: {args.run_dir} (dataset={cfg.dataset}, family={family}, "
           f"algo={args.algo})")
-    assemble = (spanning_assemble if args.algo == "spanning"
-                else greedy_assemble)
+    assemble = {"greedy": greedy_assemble, "spanning": spanning_assemble,
+                "sync": sync_assemble}[args.algo]
 
     # warmup: compile the padded-8 program pair once (K=k_max slots)
     cloud, scattered = one_problem(family, 0, args.k_min, args.num_points,
