@@ -122,14 +122,18 @@ class PCTEncoder(nn.Module):
                     self.param(f"{name}b_kernel", init, (h1, h2)),
                     self.param(f"{name}b_bias", zeros, (h2,)))
 
-        # stage 1: FPS 512 + kNN 32, shared MLP(67->128->128), max
+        # stage 1: FPS 512 + kNN 32, shared MLP(67->128->128), max.
+        # Under --bf16 the no-grad primal also runs the kernel's MLP
+        # matmuls in bf16 (f32 accumulation) — full MXU rate; the
+        # under-grad path stays f32 either way (ops/sg_pallas.py).
+        bf16_mm = self.dtype == jnp.bfloat16
         w3, b3, w4, b4 = sg_params("mlp34", self.feature_size + 3, 128,
                                    self.gs2_feature_size)
         with jax.named_scope("sg_stage1"):
             x1 = index_points(xyz,
                               farthest_point_sample(xyz, self.sg1_points))
             f1f = fused_set_abstraction(x1, xyz, x_feature, w3, b3, w4, b4,
-                                        self.knn)         # [B, 512, 128]
+                                        self.knn, bf16_mm)  # [B, 512, 128]
 
         # stage 2: FPS 256 + kNN 32, shared MLP(131->256->256), max.
         # FPS orderings are prefix-stable: the greedy argmax chain over the
@@ -143,7 +147,7 @@ class PCTEncoder(nn.Module):
         with jax.named_scope("sg_stage2"):
             x2 = x1[:, :self.sg2_points]
             f2f = fused_set_abstraction(x2, x1, f1f, w5, b5, w6, b6,
-                                        self.knn)         # [B, 256, 256]
+                                        self.knn, bf16_mm)  # [B, 256, 256]
 
         # 4 stacked offset-attention blocks; attentions averaged
         f2f = f2f.astype(self.dtype)

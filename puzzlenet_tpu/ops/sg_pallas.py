@@ -74,6 +74,18 @@ def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
+def _mlp2(gk, w1, b1, w2, b2, mmdt):
+    """The shared two-layer MLP of the stage at matmul dtype ``mmdt``
+    (f32 accumulation either way). bf16 operands run the MXU at full
+    rate — the no-grad inference primal opts in via ``bf16_mm``; the
+    under-grad forward stays f32 so training numerics are unchanged."""
+    a1 = _dot(gk.astype(mmdt), w1.astype(mmdt)) + b1
+    h1 = jnp.maximum(a1, 0.0)
+    a2 = _dot(h1.astype(mmdt), w2.astype(mmdt)) + b2
+    hv = jnp.maximum(a2, 0.0)
+    return a1, a2, hv
+
+
 def _onehots(idxmat, kcols, lane, k0, kb, dtype):
     """One-hot rows for neighbors k0..k0+kb-1, stacked on sublanes:
     [kb*s, n]."""
@@ -87,7 +99,7 @@ def _onehots(idxmat, kcols, lane, k0, kb, dtype):
 
 def _sg_kernel(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
                b1_ref, w2_ref, b2_ref, out_ref, idx_ref, amax_ref,
-               *mask_refs):
+               *mask_refs, mmdt=jnp.float32):
     q = q_ref[0]                      # [s, 3]
     xyz = xyz_ref[0]                  # [N, 3]
     feats = feats_ref[0]              # [N, C]
@@ -134,10 +146,7 @@ def _sg_kernel(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
         oh = _onehots(idx_acc, kcols, lane, k0, kb, jnp.bfloat16)
         nb = _dot(oh, cat)                                   # [kb*s, 3+C]
         gk = jnp.concatenate([nb[:, :3] - qs, nb[:, 3:]], axis=1)
-        a1 = _dot(gk, w1) + b1
-        h1 = jnp.maximum(a1, 0.0)
-        a2 = _dot(h1, w2) + b2
-        hv = jnp.maximum(a2, 0.0)
+        a1, a2, hv = _mlp2(gk, w1, b1, w2, b2, mmdt)
         for j in range(kb):
             rows = slice(j * s, (j + 1) * s)
             hj = hv[rows]
@@ -168,7 +177,7 @@ def _sg_kernel(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
 
 def _sg_kernel_pipe(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
                     b1_ref, w2_ref, b2_ref, out_ref, idx_ref, amax_ref,
-                    *mask_refs):
+                    *mask_refs, mmdt=jnp.float32):
     """Same stage as :func:`_sg_kernel`, software-pipelined: the selection
     stream (ops/lanered.py topk_stream_*) yields one neighbor block of
     winners per loop iteration, and the loop body both computes block r
@@ -209,10 +218,7 @@ def _sg_kernel_pipe(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
         oh = jnp.concatenate(ohs, axis=0)                    # [kb*s, n]
         nb = _dot(oh, cat)                                   # [kb*s, 3+C]
         gk = jnp.concatenate([nb[:, :3] - qs, nb[:, 3:]], axis=1)
-        a1 = _dot(gk, w1) + b1
-        h1 = jnp.maximum(a1, 0.0)
-        a2 = _dot(h1, w2) + b2
-        hv = jnp.maximum(a2, 0.0)
+        a1, a2, hv = _mlp2(gk, w1, b1, w2, b2, mmdt)
         for j in range(kb):
             rows = slice(j * s, (j + 1) * s)
             hj = hv[rows]
@@ -256,9 +262,12 @@ def _sg_kernel_pipe(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
         mask_refs[1][0] = m2
 
 
-def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k, with_masks):
+def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k, with_masks,
+                   bf16_mm=False):
     """``with_masks=True`` (the under-grad path) additionally emits the
-    relu-support bitmasks the backward kernel routes gradients by."""
+    relu-support bitmasks the backward kernel routes gradients by.
+    ``bf16_mm`` runs the two MLP matmuls with bf16 operands (f32
+    accumulation) — ~4x MXU rate; see _mlp2."""
     B, S, _ = new_xyz.shape
     N, C = feats.shape[1], feats.shape[2]
     H, H2 = w1.shape[1], w2.shape[1]
@@ -298,8 +307,10 @@ def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k, with_masks):
 
     kernel = (_sg_kernel_pipe if _PIPELINE and sorted_topk_supported(N)
               else _sg_kernel)
+    mmdt = jnp.bfloat16 if bf16_mm else jnp.float32
     res = pl.pallas_call(
-        functools.partial(kernel, k, _neighbor_block(k), with_masks),
+        functools.partial(kernel, k, _neighbor_block(k), with_masks,
+                          mmdt=mmdt),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, s_blk, 3), lambda i, j: (i, j, 0),
@@ -506,22 +517,26 @@ def _mlp_max_from_idx(new_xyz, xyz, feats, w1, b1, w2, b2, idx):
     return jnp.max(h, axis=-2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def fused_set_abstraction(new_xyz, xyz, feats, w1, b1, w2, b2, k):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_set_abstraction(new_xyz, xyz, feats, w1, b1, w2, b2, k,
+                          bf16_mm=False):
     """[B,S,3], [B,N,3], [B,N,C], MLP params -> [B, S, w2_out].
 
     TPU: single fused Pallas kernel. Elsewhere: kNN + gather + MLP + max.
     k must be <= 32 on the fused path (relu-support bitmasks are uint32).
+    ``bf16_mm`` runs the no-grad inference primal's MLP matmuls in bf16
+    (f32 accumulation, full MXU rate); the under-grad forward/backward
+    always stay f32, so training numerics are unaffected.
     """
     if pallas_supported():
         out, _, _ = _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k,
-                                   with_masks=False)
+                                   with_masks=False, bf16_mm=bf16_mm)
         return out
     idx = knn_indices(new_xyz, xyz, k)
     return _mlp_max_from_idx(new_xyz, xyz, feats, w1, b1, w2, b2, idx)
 
 
-def _fsa_fwd(new_xyz, xyz, feats, w1, b1, w2, b2, k):
+def _fsa_fwd(new_xyz, xyz, feats, w1, b1, w2, b2, k, bf16_mm=False):
     if pallas_supported():
         out, idx, amax, m1, m2 = _fused_forward(
             new_xyz, xyz, feats, w1, b1, w2, b2, k, with_masks=True)
@@ -532,7 +547,7 @@ def _fsa_fwd(new_xyz, xyz, feats, w1, b1, w2, b2, k):
     return out, (new_xyz, xyz, feats, w1, b1, w2, b2, idx, amax, m1, m2)
 
 
-def _fsa_bwd(k, res, g):
+def _fsa_bwd(k, bf16_mm, res, g):
     new_xyz, xyz, feats, w1, b1, w2, b2, idx, amax, m1, m2 = res
     # differentiate the gather->MLP->max graph at the SAVED indices (the
     # kNN selection itself has zero gradient a.e.)

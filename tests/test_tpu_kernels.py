@@ -78,6 +78,26 @@ class TestPallasSG:
         # bf16 gather rounding bounds the difference
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0.05)
 
+    def test_bf16_mm_close_to_f32(self, clouds):
+        """bf16-operand MLP matmuls (the inference primal's serving
+        dtype): same neighbor sets as f32 are not guaranteed, but the
+        outputs must agree within bf16 rounding of the activations."""
+        from puzzlenet_tpu.ops.sg_pallas import fused_set_abstraction
+
+        xyz, _ = clouds
+        q = xyz[:, :128]
+        rng = np.random.default_rng(4)
+        feats = jnp.asarray(rng.normal(size=(4, 256, 16)).astype(np.float32))
+        w1 = jnp.asarray(rng.normal(size=(19, 32)).astype(np.float32) * 0.2)
+        b1 = jnp.zeros(32)
+        w2 = jnp.asarray(rng.normal(size=(32, 32)).astype(np.float32) * 0.2)
+        b2 = jnp.zeros(32)
+        a = fused_set_abstraction(q, xyz, feats, w1, b1, w2, b2, 8)
+        c = fused_set_abstraction(q, xyz, feats, w1, b1, w2, b2, 8, True)
+        scale = float(jnp.max(jnp.abs(a)))
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   atol=0.03 * scale)
+
     def test_fd_gradient(self, clouds):
         from puzzlenet_tpu.ops.sg_pallas import fused_set_abstraction
 
