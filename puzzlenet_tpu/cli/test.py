@@ -33,11 +33,16 @@ def main(argv=None):
     p.add_argument("--pretrain", action="store_true",
                    help="evaluate a pretrain-phase checkpoint through the "
                         "pose-only predict6 path (model5_b.py:1178-1181)")
+    p.add_argument("--bf16", action="store_true",
+                   help="evaluate with bfloat16 serving compute regardless "
+                        "of the training dtype (params stay f32)")
     ns = p.parse_args(argv)
 
     cfg = Config.load(ns.run_dir)
     if ns.dataset:
         cfg.dataset = ns.dataset
+    if ns.bf16:
+        cfg.bf16 = True
     cfg.output_path = ns.run_dir
 
     _, _, test_ds = get_dataset(cfg.dataset, random=cfg.random,

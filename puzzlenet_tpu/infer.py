@@ -34,11 +34,17 @@ class Session:
     """Warm inference session over a fixed [batch, n, 3] compiled shape."""
 
     def __init__(self, params, batch_stats, num_points=1024, batch_size=64,
-                 asymmetric_global_quirk=False, boundary_fp=False):
+                 asymmetric_global_quirk=False, boundary_fp=False,
+                 bf16=False):
+        # ``bf16``: serve with bfloat16 activations + bf16-operand
+        # (f32-accumulated) SG matmuls — the TPU's native rate — from
+        # f32-trained params (params stay f32; see PERFORMANCE.md for
+        # the measured metric deltas)
         self.model = PuzzleNet(
             num_points=num_points,
             asymmetric_global_quirk=asymmetric_global_quirk,
-            boundary_fp=boundary_fp)
+            boundary_fp=boundary_fp,
+            dtype=jnp.bfloat16 if bf16 else jnp.float32)
         self.variables = {"params": params, "batch_stats": batch_stats}
         self.batch_size = int(batch_size)
         self.num_points = int(num_points)
@@ -74,8 +80,11 @@ class Session:
     # -- constructors -----------------------------------------------------
 
     @classmethod
-    def from_run(cls, run_dir, step=None, batch_size=64):
-        """Load a cli.train output dir (config.json + orbax checkpoints)."""
+    def from_run(cls, run_dir, step=None, batch_size=64, bf16=False):
+        """Load a cli.train output dir (config.json + orbax checkpoints).
+
+        ``bf16`` switches SERVING compute to bfloat16 regardless of the
+        training dtype (params are f32 in the checkpoint either way)."""
         import os
 
         from .core.config import Config
@@ -99,7 +108,7 @@ class Session:
         return cls(state.params, state.batch_stats,
                    num_points=cfg.num_points, batch_size=batch_size,
                    asymmetric_global_quirk=cfg.asymmetric_global_quirk,
-                   boundary_fp=cfg.boundary_fp)
+                   boundary_fp=cfg.boundary_fp, bf16=bf16)
 
     @classmethod
     def from_reference_checkpoint(cls, path, num_points=1024, batch_size=64,
