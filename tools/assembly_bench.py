@@ -50,7 +50,9 @@ def one_problem(family, seed, k, npoint, cache_dir=None):
         path = os.path.join(cache_dir, f"{family}_{k}_{seed}_{npoint}.npz")
         if os.path.exists(path):
             z = np.load(path)
-            return z["cloud"], [z[f"p{i}"] for i in range(k)]
+            if "g0" in z:        # caches from before gts were stored
+                return (z["cloud"], [z[f"p{i}"] for i in range(k)],
+                        [z[f"g{i}"] for i in range(k)])
 
     from puzzlenet_tpu.assembly import fragment_cloud, scatter_pieces
     from puzzlenet_tpu.data import synthetic_clouds
@@ -60,12 +62,27 @@ def one_problem(family, seed, k, npoint, cache_dir=None):
     cloud = synthetic_clouds(family, count=1, n_points=8192,
                              seed=100000 + seed)[0]
     pieces = fragment_cloud(cloud, k, npoint, rng)
-    scattered, _ = scatter_pieces(pieces, rng)
+    scattered, gts = scatter_pieces(pieces, rng)
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
         np.savez(path, cloud=cloud,
-                 **{f"p{i}": p for i, p in enumerate(scattered)})
-    return cloud, scattered
+                 **{f"p{i}": p for i, p in enumerate(scattered)},
+                 **{f"g{i}": g for i, g in enumerate(gts)})
+    return cloud, scattered, gts
+
+
+def pose_errors(piece_transforms, gts):
+    """Per-piece pose error of an assembly: the recovered pose should
+    invert each piece's scatter motion (anchor frame, piece 0 exact).
+    Returns (rotation errors deg, translation errors) over pieces 1..K-1.
+    """
+    rerrs, terrs = [], []
+    for t, g in zip(piece_transforms[1:], gts[1:]):
+        ideal = np.linalg.inv(g)
+        c = (np.trace(t[:3, :3].T @ ideal[:3, :3]) - 1) / 2
+        rerrs.append(np.degrees(np.arccos(np.clip(c, -1, 1))))
+        terrs.append(np.linalg.norm(t[:3, 3] - ideal[:3, 3]))
+    return rerrs, terrs
 
 
 def main(argv=None):
@@ -108,8 +125,8 @@ def main(argv=None):
                 "sync": sync_assemble}[args.algo]
 
     # warmup: compile the padded-8 program pair once (K=k_max slots)
-    cloud, scattered = one_problem(family, 0, args.k_min, args.num_points,
-                                   args.cache_dir)
+    cloud, scattered, _ = one_problem(family, 0, args.k_min,
+                                      args.num_points, args.cache_dir)
     t0 = time.perf_counter()
     r = assemble(model, variables, scattered, pad_to=args.k_max,
                  refine_iters=args.refine_iters, icp_iters=args.icp_iters)
@@ -118,10 +135,10 @@ def main(argv=None):
 
     rows = []
     for k in range(args.k_min, args.k_max + 1):
-        cds, cd0s, walls = [], [], []
+        cds, cd0s, walls, rerrs, terrs = [], [], [], [], []
         for seed in range(args.seeds):
-            cloud, scattered = one_problem(family, seed, k,
-                                           args.num_points, args.cache_dir)
+            cloud, scattered, gts = one_problem(
+                family, seed, k, args.num_points, args.cache_dir)
             t0 = time.perf_counter()
             r = assemble(model, variables, scattered,
                          pad_to=args.k_max,
@@ -129,6 +146,9 @@ def main(argv=None):
                          icp_iters=args.icp_iters)
             assembled = np.asarray(r.assembled)   # host readback = sync
             walls.append(time.perf_counter() - t0)
+            re_, te_ = pose_errors(r.piece_transforms, gts)
+            rerrs += re_
+            terrs += te_
 
             gt = fps_np(cloud, args.num_points,
                         rng=np.random.default_rng(1))
@@ -150,6 +170,8 @@ def main(argv=None):
             "cd_p50": float(np.median(cds)),
             "cd_scattered_mean": float(np.mean(cd0s)),
             "success_rate": float((cds < args.success_cd).mean()),
+            "r_err_p50": float(np.median(rerrs)),
+            "t_err_p50": float(np.median(terrs)),
             "seeds": args.seeds,
         }
         rows.append(row)
@@ -157,18 +179,21 @@ def main(argv=None):
               f"(p50 {row['wall_ms_p50']:.0f}, max {row['wall_ms_max']:.0f})"
               f"  cd {row['cd_mean']:.4f} (p50 {row['cd_p50']:.4f}, "
               f"scattered {row['cd_scattered_mean']:.4f})  "
-              f"success {row['success_rate']:.0%}", flush=True)
+              f"success {row['success_rate']:.0%}  "
+              f"r_err p50 {row['r_err_p50']:.1f} deg  "
+              f"t_err p50 {row['t_err_p50']:.3f}", flush=True)
 
     # recompile check: after warmup every assembly is pure execution; a
     # stray recompile would show as a >> p50 outlier in its row's max
     print("\n| K | wall ms (p50) | cd mean | cd p50 | scattered cd | "
-          "success |")
-    print("|---|---|---|---|---|---|")
+          "success | r_err p50 | t_err p50 |")
+    print("|---|---|---|---|---|---|---|---|")
     for row in rows:
         print(f"| {row['k']} | {row['wall_ms_p50']:.0f} "
               f"| {row['cd_mean']:.4f} | {row['cd_p50']:.4f} "
               f"| {row['cd_scattered_mean']:.4f} "
-              f"| {row['success_rate']:.0%} |")
+              f"| {row['success_rate']:.0%} "
+              f"| {row['r_err_p50']:.1f} | {row['t_err_p50']:.3f} |")
 
     if args.out:
         with open(args.out, "w") as f:
