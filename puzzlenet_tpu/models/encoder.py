@@ -123,9 +123,9 @@ class PCTEncoder(nn.Module):
                     self.param(f"{name}b_bias", zeros, (h2,)))
 
         # stage 1: FPS 512 + kNN 32, shared MLP(67->128->128), max.
-        # Under --bf16 the no-grad primal also runs the kernel's MLP
-        # matmuls in bf16 (f32 accumulation) — full MXU rate; the
-        # under-grad path stays f32 either way (ops/sg_pallas.py).
+        # Under --bf16 the fused kernel's MLP matmuls (fwd and, under
+        # grad, bwd) run with bf16 operands + f32 accumulation — full
+        # MXU rate; gradient routing is dtype-proof (ops/sg_pallas.py).
         bf16_mm = self.dtype == jnp.bfloat16
         w3, b3, w4, b4 = sg_params("mlp34", self.feature_size + 3, 128,
                                    self.gs2_feature_size)

@@ -340,7 +340,7 @@ def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k, with_masks,
 def _sg_bwd_kernel(k, kb, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
                    w2_ref, b2_ref, idx_ref, amax_ref, m1_ref, m2_ref,
                    g_ref, dq_ref, dcat_ref, dw1_ref, db1_ref, dw2_ref,
-                   db2_ref):
+                   db2_ref, mmdt=jnp.float32):
     """Backward of the fused stage. Gradient routing is fully determined
     by the forward's saved artifacts:
       * max backward: cotangent routed by the saved argmax-k index;
@@ -382,8 +382,8 @@ def _sg_bwd_kernel(k, kb, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
 
     def rows_dot(a, b):
         """[R, X]^T . [R, Y] -> [X, Y] (contract the stacked rows)."""
-        return lax.dot_general(a, b, dimension_numbers=(((0,), (0,)),
-                                                        ((), ())),
+        return lax.dot_general(a.astype(mmdt), b.astype(mmdt),
+                               dimension_numbers=(((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
     def stack_k(build):
@@ -395,7 +395,7 @@ def _sg_bwd_kernel(k, kb, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
         oh = _onehots(idxmat, kcols, lane, k0, kb, jnp.float32)
         nb = _dot(oh.astype(jnp.bfloat16), cat)          # exact, see fwd
         gk = jnp.concatenate([nb[:, :3] - qs, nb[:, 3:]], axis=1)
-        a1 = _dot(gk, w1) + b1
+        a1 = _dot(gk.astype(mmdt), w1.astype(mmdt)) + b1
         bit1 = stack_k(lambda jj: ((m1 >> (k0 + jj).astype(jnp.uint32))
                                    & jnp.uint32(1)) > 0)  # [kb*s, H]
         h1 = jnp.where(bit1, a1, 0.0)
@@ -405,13 +405,13 @@ def _sg_bwd_kernel(k, kb, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
         da2 = jnp.where(bit2, dh2, 0.0)
         dw2 = dw2 + rows_dot(h1, da2)                    # [H, H2]
         db2 = db2 + jnp.sum(da2, axis=0, keepdims=True)
-        dh1 = lax.dot_general(da2, w2,
+        dh1 = lax.dot_general(da2.astype(mmdt), w2.astype(mmdt),
                               dimension_numbers=(((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
         da1 = jnp.where(bit1, dh1, 0.0)
         dw1 = dw1 + rows_dot(gk, da1)                    # [c_in, H]
         db1 = db1 + jnp.sum(da1, axis=0, keepdims=True)
-        dgk = lax.dot_general(da1, w1,
+        dgk = lax.dot_general(da1.astype(mmdt), w1.astype(mmdt),
                               dimension_numbers=(((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
         for jj in range(kb):
@@ -437,7 +437,7 @@ def _sg_bwd_kernel(k, kb, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
 
 
 def _fused_backward(new_xyz, xyz, feats, w1, b1, w2, b2, idx, amax,
-                    m1, m2, g):
+                    m1, m2, g, bf16_mm=False):
     B, S, _ = new_xyz.shape
     N, C = feats.shape[1], feats.shape[2]
     c_in, H = w1.shape
@@ -447,7 +447,8 @@ def _fused_backward(new_xyz, xyz, feats, w1, b1, w2, b2, idx, amax,
     grid = (B, S // s_blk)
 
     dq, dcat, dw1, db1, dw2, db2 = pl.pallas_call(
-        functools.partial(_sg_bwd_kernel, k, _neighbor_block(k)),
+        functools.partial(_sg_bwd_kernel, k, _neighbor_block(k),
+                          mmdt=jnp.bfloat16 if bf16_mm else jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, s_blk, 3), lambda i, j: (i, j, 0),
@@ -524,9 +525,12 @@ def fused_set_abstraction(new_xyz, xyz, feats, w1, b1, w2, b2, k,
 
     TPU: single fused Pallas kernel. Elsewhere: kNN + gather + MLP + max.
     k must be <= 32 on the fused path (relu-support bitmasks are uint32).
-    ``bf16_mm`` runs the no-grad inference primal's MLP matmuls in bf16
-    (f32 accumulation, full MXU rate); the under-grad forward/backward
-    always stay f32, so training numerics are unaffected.
+    ``bf16_mm`` runs the MLP matmuls (and, under grad, the backward's
+    recompute + gradient matmuls) with bf16 operands and f32
+    accumulation — full MXU rate. Routing correctness is dtype-proof:
+    masks/argmax are saved from the (bf16) forward itself and the
+    backward routes by them. Default stays f32 (the encoder enables it
+    under --bf16).
     """
     if pallas_supported():
         out, _, _ = _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k,
@@ -537,9 +541,14 @@ def fused_set_abstraction(new_xyz, xyz, feats, w1, b1, w2, b2, k,
 
 
 def _fsa_fwd(new_xyz, xyz, feats, w1, b1, w2, b2, k, bf16_mm=False):
+    # bf16_mm under grad: forward masks/argmax are computed FROM the
+    # bf16-dot activations, so routing stays self-consistent; backward
+    # recompute (also bf16) only supplies values — rounding scales
+    # gradients but can never re-route them (module docstring).
     if pallas_supported():
         out, idx, amax, m1, m2 = _fused_forward(
-            new_xyz, xyz, feats, w1, b1, w2, b2, k, with_masks=True)
+            new_xyz, xyz, feats, w1, b1, w2, b2, k, with_masks=True,
+            bf16_mm=bf16_mm)
     else:
         idx = knn_indices(new_xyz, xyz, k)
         out = _mlp_max_from_idx(new_xyz, xyz, feats, w1, b1, w2, b2, idx)
@@ -553,7 +562,7 @@ def _fsa_bwd(k, bf16_mm, res, g):
     # kNN selection itself has zero gradient a.e.)
     if pallas_supported():
         return _fused_backward(new_xyz, xyz, feats, w1, b1, w2, b2, idx,
-                               amax, m1, m2, g)
+                               amax, m1, m2, g, bf16_mm=bf16_mm)
 
     def f(new_xyz, xyz, feats, w1, b1, w2, b2):
         return _mlp_max_from_idx(new_xyz, xyz, feats, w1, b1, w2, b2, idx)
