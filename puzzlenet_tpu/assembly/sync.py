@@ -21,9 +21,31 @@ assemblers share (greedy._pair_forward), so pad_to compile-stability
 carries over unchanged.
 """
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
-from .greedy import AssemblyResult
+from ..semath import se3
+from .greedy import AssemblyResult, _pair_forward
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _score_posed_jit(model, variables, stack, poses, active, idx_i, idx_j):
+    """Score every ordered slot pair of the POSED stack (each slot
+    transformed by its current absolute pose estimate) in one batched
+    forward. With a good pose estimate the true-neighbor pairs are almost
+    aligned, so the net's output is a small residual correction — the
+    measurement update of the iterative synchronization loop
+    (``sync_iters``). Fixed shapes: one compilation serves every
+    iteration and every K <= pad_to."""
+    posed = se3.transform_points(poses, stack)
+    twists, scores, top_f, top_m = _pair_forward(model, variables,
+                                                 posed[idx_i], posed[idx_j])
+    valid = active[idx_i] & active[idx_j]
+    scores = jnp.where(valid, scores, jnp.inf)
+    return se3.exp(twists), scores, top_f, top_m
 
 
 def _project_so3(M):
@@ -127,7 +149,8 @@ def _edge_selection(k, scores_np, pos, keep_frac=0.6):
 
 
 def sync_assemble(model, variables, pieces, num_points=None, pad_to=None,
-                  refine_iters=0, icp_iters=0, keep_frac=0.6):
+                  refine_iters=0, icp_iters=0, keep_frac=0.6,
+                  sync_iters=0):
     """Assemble K fragments by global pose synchronization over the
     score-weighted pairwise measurement graph (module docstring). Same
     contract as the other assemblers: result in the FIRST piece's frame.
@@ -136,9 +159,17 @@ def sync_assemble(model, variables, pieces, num_points=None, pad_to=None,
     fed to the solver; the MST is always unioned in so the graph stays
     connected. ``refine_iters``/``icp_iters`` polish each kept edge
     exactly as in spanning_assemble.
-    """
-    import jax.numpy as jnp
 
+    ``sync_iters``: iterative measurement refinement — after each solve,
+    pose every slot by its current estimate, re-run the batched pairwise
+    net on the POSED stack (one compiled program, reused every
+    iteration), map each residual correction back to a piece-frame
+    relative measurement (T_i^-1 corr T_j), re-select edges by the new
+    fit scores, and re-synchronize. Aligned true-neighbor pairs converge
+    to near-identity corrections with near-zero boundary-chamfer scores,
+    so their weights grow and wrong edges fall out of the kept set.
+    Works best with a checkpoint trained with --random (random twist
+    amplitude: near-identity pairs are then in-distribution)."""
     from .greedy import _icp_refine_jit, _pair_tables, _refine_jit
     from .spanning import _score_all_jit, _union_fps_jit
 
@@ -180,6 +211,33 @@ def sync_assemble(model, variables, pieces, num_points=None, pad_to=None,
         edge_scores.append(float(s))
 
     poses = synchronize_poses(k, edges)
+
+    for _ in range(sync_iters):
+        poses_full = jnp.asarray(np.stack(
+            poses + [np.eye(4, dtype=np.float32)] * (k0 - k)))
+        mats_r, scores_r, _, _ = _score_posed_jit(
+            model, variables, stack, poses_full, active, idx_i, idx_j)
+        scores_np = np.asarray(scores_r)
+        kept = _edge_selection(k, scores_np, pos, keep_frac)
+        edges, order, edge_mats, edge_scores = [], [], [], []
+        for (i, j), (p_sel, inv, s) in sorted(kept.items(),
+                                              key=lambda kv: kv[1][2]):
+            corr = np.asarray(mats_r[p_sel])
+            # corr maps the posed moved slot onto the posed fixed slot;
+            # pull it back to piece frames: x_i = T_i^-1 corr T_j x_j
+            if inv:                       # fixed=j, moved=i measured
+                m = np.linalg.inv(poses[j]) @ corr @ poses[i]
+                m = np.linalg.inv(m)
+            else:
+                m = np.linalg.inv(poses[i]) @ corr @ poses[j]
+            m = m.astype(np.float32)
+            w = 1.0 / (float(s) + 1e-3)
+            edges.append((i, j, m, w))
+            order.append((i, j))
+            edge_mats.append(m)
+            edge_scores.append(float(s))
+        poses = synchronize_poses(k, edges)
+
     poses_full = np.stack(
         poses + [np.eye(4, dtype=np.float32)] * (k0 - k))
     assembled = np.asarray(_union_fps_jit(

@@ -212,9 +212,10 @@ def _twice_masks(ks, cloud, cut, npoint):
 
 @functools.partial(jax.jit, static_argnames=("npoint", "boundary_k", "mag",
                                              "cut", "split_twice",
-                                             "frag_cuts"))
+                                             "frag_cuts", "mag_randomly"))
 def make_batch(key, clouds, npoint=NPOINT, boundary_k=128, mag=0.8,
-               cut="plane", split_twice=False, frag_cuts=0):
+               cut="plane", split_twice=False, frag_cuts=0,
+               mag_randomly=False):
     """clouds [B, M, 3] on device -> Batch (the 8-tuple contract).
 
     ``cut`` selects the slicing primitive (matching the category registry's
@@ -222,7 +223,11 @@ def make_batch(key, clouds, npoint=NPOINT, boundary_k=128, mag=0.8,
     (dataset.py:1203-1354, = the --random_slice flag); ``frag_cuts`` > 0
     pre-restricts each cloud to a random sub-fragment before the pair cut
     (see _precut_valid — trains the net at K-piece fragment sizes;
-    single-cut path only).
+    single-cut path only); ``mag_randomly`` scales each twist by an extra
+    U[0,1) amplitude (RandomTransformSE3(0.8, True), the --random flag,
+    se_math/transforms.py:163-165) — small/near-identity motions enter the
+    training distribution, which is what makes assembly-time pose
+    refinement (re-running the net on an almost-aligned pair) valid.
     """
     B = clouds.shape[0]
     keys = jax.random.split(key, B * 8).reshape(B, 8, 2)
@@ -265,8 +270,11 @@ def make_batch(key, clouds, npoint=NPOINT, boundary_k=128, mag=0.8,
 
     # random mag twist on the up piece (MovedCADDataset2 semantics)
     def per_twist(k):
-        x = jax.random.normal(k, (6,), clouds.dtype)
-        return x / jnp.linalg.norm(x) * mag
+        k_dir, k_amp = jax.random.split(k)
+        x = jax.random.normal(k_dir, (6,), clouds.dtype)
+        amp = (mag * jax.random.uniform(k_amp, (), clouds.dtype)
+               if mag_randomly else mag)
+        return x / jnp.linalg.norm(x) * amp
 
     twists = jax.vmap(per_twist)(keys[:, 7])
     igt = se3.exp(twists)

@@ -384,7 +384,8 @@ class Trainer:
                                     replace=n_clouds < cfg.batch_size)
             batch = make_batch(k_batch, clouds[sel], npoint=cfg.num_points,
                                cut=cut, split_twice=split_twice,
-                               frag_cuts=cfg.frag_cuts)
+                               frag_cuts=cfg.frag_cuts,
+                               mag_randomly=cfg.random)
             return train_step(self.model, self.tx, self.flags, pretrain,
                               state, batch)
 
@@ -405,7 +406,8 @@ class Trainer:
             lambda k: make_batch(k, clouds[:cfg.batch_size],
                                  npoint=cfg.num_points, cut=cut,
                                  split_twice=split_twice,
-                                 frag_cuts=cfg.frag_cuts))(key))
+                                 frag_cuts=cfg.frag_cuts,
+                                 mag_randomly=cfg.random))(key))
         state = self.init_state(first)
         if cfg.resume:
             state = self.restore_checkpoint(state, cfg.resume)

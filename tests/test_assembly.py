@@ -238,6 +238,27 @@ class TestAssembly:
                                      jnp.asarray(posed)[None])
         assert float(jnp.max(d_asm)) < 1e-6
 
+    def test_sync_iters(self, model_and_pieces):
+        """Iterative synchronization keeps the contract (anchor frame,
+        rigid poses) and runs its re-measurement loop without
+        recompiling per iteration (fixed shapes)."""
+        from puzzlenet_tpu.assembly import sync_assemble
+
+        model, variables, pieces = model_and_pieces
+        r = sync_assemble(model, variables, pieces, num_points=N,
+                          sync_iters=2)
+        assert r.assembled.shape == (N, 3)
+        np.testing.assert_allclose(r.piece_transforms[0], np.eye(4),
+                                   atol=1e-4)
+        for t in r.piece_transforms:
+            R = t[:3, :3]
+            np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-4)
+            assert np.linalg.det(R) > 0.9
+        # the re-measurement loop re-selects edges: bookkeeping stays
+        # consistent (one entry per kept undirected edge)
+        assert len(r.merge_order) == len(r.transforms) \
+            == len(r.scores) >= len(pieces) - 1
+
     def test_icp_align_recovers_rigid_transform(self):
         """icp_align recovers a moderate known rigid motion between two
         noisy samplings of the same surface patch."""

@@ -124,6 +124,30 @@ class TestFragCuts:
         np.testing.assert_array_equal(np.asarray(a.fpc), np.asarray(b.fpc))
 
 
+class TestMagRandomly:
+    def test_twist_amplitude_distribution(self, clouds):
+        """--random semantics (RandomTransformSE3(0.8, True),
+        se_math/transforms.py:163-165): twist amplitudes are U[0,1)*mag
+        instead of exactly mag."""
+        from puzzlenet_tpu.semath import se3
+
+        cl = jnp.asarray(clouds)
+        amps = []
+        for s in range(8):
+            b = make_batch(jax.random.PRNGKey(s), cl, npoint=NPOINT,
+                           boundary_k=K, cut="plane", mag_randomly=True)
+            amps += [float(jnp.linalg.norm(t))
+                     for t in se3.log(b.igt)]
+        amps = np.asarray(amps)
+        fixed = make_batch(jax.random.PRNGKey(0), cl, npoint=NPOINT,
+                           boundary_k=K, cut="plane")
+        f_amps = np.asarray(jnp.linalg.norm(se3.log(fixed.igt), axis=-1))
+        np.testing.assert_allclose(f_amps, 0.8, atol=1e-5)
+        assert amps.max() <= 0.8 + 1e-5
+        assert amps.min() < 0.3          # small twists actually occur
+        assert amps.std() > 0.1          # spread, not a constant
+
+
 class TestSplitTwice:
     def test_contract(self, clouds):
         batch = make_batch(jax.random.PRNGKey(11), jnp.asarray(clouds),

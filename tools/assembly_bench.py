@@ -13,6 +13,7 @@ first published numbers for the paper's described multi-piece behavior.
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -109,6 +110,9 @@ def main(argv=None):
                    default="greedy",
                    help="greedy re-merging / MST pose graph / global "
                         "pose synchronization")
+    p.add_argument("--sync_iters", type=int, default=0,
+                   help="sync only: iterative re-measurement rounds on "
+                        "the posed stack (assembly/sync.py)")
     args = p.parse_args(argv)
 
     from puzzlenet_tpu.assembly import (greedy_assemble, spanning_assemble,
@@ -123,6 +127,10 @@ def main(argv=None):
           f"algo={args.algo})")
     assemble = {"greedy": greedy_assemble, "spanning": spanning_assemble,
                 "sync": sync_assemble}[args.algo]
+    if args.sync_iters:
+        if args.algo != "sync":
+            p.error("--sync_iters requires --algo sync")
+        assemble = functools.partial(assemble, sync_iters=args.sync_iters)
 
     # warmup: compile the padded-8 program pair once (K=k_max slots)
     cloud, scattered, _ = one_problem(family, 0, args.k_min,
@@ -200,7 +208,8 @@ def main(argv=None):
             json.dump({"run_dir": args.run_dir, "family": family,
                        "success_cd": args.success_cd, "algo": args.algo,
                        "refine_iters": args.refine_iters,
-                       "icp_iters": args.icp_iters, "rows": rows}, f,
+                       "icp_iters": args.icp_iters,
+                       "sync_iters": args.sync_iters, "rows": rows}, f,
                       indent=2)
         print("wrote", args.out)
     return rows
