@@ -78,17 +78,21 @@ _pair_forward_jit = functools.partial(
 
 
 @functools.partial(jax.jit, static_argnames=("model",))
-def _round_jit(model, variables, stack, active, idx_i, idx_j):
+def _round_jit(model, variables, stack, active, idx_i, idx_j, cluster):
     """One greedy round over the fixed slot-pair axis.
 
     stack [K0, N, 3], active [K0] bool, idx_i/idx_j [P] int32 (the constant
-    ordered-pair tables). Returns (best pair position, its twist, its
-    score, its predicted-boundary index sets) — all device values;
-    inactive pairs score +inf.
+    ordered-pair tables), cluster int32 (accretion constraint: when >= 0
+    only pairs involving that slot are candidates; -1 = unconstrained).
+    Returns (best pair position, its twist, its score, its
+    predicted-boundary index sets) — all device values; inactive pairs
+    score +inf. ``cluster`` is traced, so one compilation serves both
+    modes and every round.
     """
     twists, scores, top_f, top_m = _pair_forward(model, variables,
                                                  stack[idx_i], stack[idx_j])
     valid = active[idx_i] & active[idx_j]
+    valid &= (cluster < 0) | (idx_i == cluster) | (idx_j == cluster)
     scores = jnp.where(valid, scores, jnp.inf)
     best = jnp.argmin(scores)
     return best, twists[best], scores[best], top_f[best], top_m[best]
@@ -147,7 +151,7 @@ def score_pairs(model, variables, pieces):
 
 
 def greedy_assemble(model, variables, pieces, num_points=None,
-                    pad_to=None, refine_iters=0, icp_iters=0):
+                    pad_to=None, refine_iters=0, icp_iters=0, grow=False):
     """Assemble K fragments ([K, N, 3] array or list of [N, 3]) into one
     cloud. All K pieces must share N (``num_points``, inferred when None);
     per round the moved piece of the best pair is rigidly mapped onto the
@@ -169,6 +173,14 @@ def greedy_assemble(model, variables, pieces, num_points=None,
     the winning pair's predicted fracture-boundary sets, composed after
     the network pose (assembly/icp.py; cheap [128, 128] geometry, no
     extra network forwards).
+
+    ``grow``: accretion mode — after the first (globally best) merge,
+    only pairs involving the growing cluster are candidates. Avoids
+    irreversible sliver-on-sliver merges at K >= 4: cluster-vs-piece
+    pairs (one large piece, one fragment, union a sub-region of the
+    cloud) are much closer to the --frag_cuts training distribution than
+    two 1/K slivers. Same two compiled programs (the constraint is a
+    traced scalar).
 
     The returned cloud (and ``piece_transforms``) are expressed in the
     FIRST input piece's frame — piece 0 is the anchor, matching
@@ -196,9 +208,10 @@ def greedy_assemble(model, variables, pieces, num_points=None,
     # any chamfer-to-original evaluation expect.
     piece_slot = list(range(k))
     piece_pose = [np.eye(4, dtype=np.float32) for _ in range(k)]
+    cluster = jnp.int32(-1)
     for _ in range(k - 1):
         best, twist, score, top_f, top_m = _round_jit(
-            model, variables, stack, active, idx_i, idx_j)
+            model, variables, stack, active, idx_i, idx_j, cluster)
         i, j = pairs[int(best)]
         mat = se3.exp(twist[None])[0]
         for _ in range(refine_iters):
@@ -207,6 +220,8 @@ def greedy_assemble(model, variables, pieces, num_points=None,
             mat = _icp_refine_jit(stack, i, j, top_f, top_m, mat,
                                   icp_iters)
         stack, active, mat = _merge_jit(stack, active, i, j, mat)
+        if grow:
+            cluster = jnp.int32(i)
         merge_order.append((i, j))
         mat_np = np.asarray(mat)
         transforms.append(mat_np)

@@ -238,6 +238,30 @@ class TestAssembly:
                                      jnp.asarray(posed)[None])
         assert float(jnp.max(d_asm)) < 1e-6
 
+    def test_grow_mode(self, model_and_pieces):
+        """Accretion greedy: after the first merge every later merge
+        involves the growing cluster slot, and the two compiled programs
+        are shared with plain greedy (traced cluster scalar)."""
+        from puzzlenet_tpu.assembly import greedy
+
+        model, variables, pieces = model_and_pieces
+        # 4 pieces so there are >= 2 post-seed merges to constrain
+        rng = np.random.default_rng(3)
+        extra = pieces[2] + rng.normal(scale=0.01, size=pieces[2].shape
+                                       ).astype(np.float32)
+        four = [pieces[0], pieces[1], pieces[2], extra]
+        base = greedy._round_jit._cache_size()
+        r = greedy_assemble(model, variables, four, num_points=N,
+                            grow=True)
+        r2 = greedy_assemble(model, variables, four, num_points=N)
+        assert greedy._round_jit._cache_size() - base <= 1
+        assert r.assembled.shape == (N, 3)
+        cluster = r.merge_order[0][0]
+        for i, j in r.merge_order[1:]:
+            assert cluster in (i, j)
+            cluster = i
+        assert len(r2.merge_order) == 3
+
     def test_sync_iters(self, model_and_pieces):
         """Iterative synchronization keeps the contract (anchor frame,
         rigid poses) and runs its re-measurement loop without

@@ -113,6 +113,9 @@ def main(argv=None):
     p.add_argument("--sync_iters", type=int, default=0,
                    help="sync only: iterative re-measurement rounds on "
                         "the posed stack (assembly/sync.py)")
+    p.add_argument("--grow", action="store_true",
+                   help="greedy only: accretion mode — grow one cluster "
+                        "instead of free pair merging")
     args = p.parse_args(argv)
 
     from puzzlenet_tpu.assembly import (greedy_assemble, spanning_assemble,
@@ -131,6 +134,10 @@ def main(argv=None):
         if args.algo != "sync":
             p.error("--sync_iters requires --algo sync")
         assemble = functools.partial(assemble, sync_iters=args.sync_iters)
+    if args.grow:
+        if args.algo != "greedy":
+            p.error("--grow requires --algo greedy")
+        assemble = functools.partial(assemble, grow=True)
 
     # warmup: compile the padded-8 program pair once (K=k_max slots)
     cloud, scattered, _ = one_problem(family, 0, args.k_min,
@@ -209,7 +216,8 @@ def main(argv=None):
                        "success_cd": args.success_cd, "algo": args.algo,
                        "refine_iters": args.refine_iters,
                        "icp_iters": args.icp_iters,
-                       "sync_iters": args.sync_iters, "rows": rows}, f,
+                       "sync_iters": args.sync_iters,
+                       "grow": args.grow, "rows": rows}, f,
                       indent=2)
         print("wrote", args.out)
     return rows
