@@ -45,7 +45,7 @@ def _enable_compile_cache():
         pass  # cache is an optimization; proceed without it
 
 
-def measure_tpu(batch=BATCH, n=NPOINTS, iters=20, warmup=3):
+def measure_tpu(batch=BATCH, n=NPOINTS, iters=20, warmup=3, bf16=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -55,7 +55,8 @@ def measure_tpu(batch=BATCH, n=NPOINTS, iters=20, warmup=3):
     rng = np.random.default_rng(0)
     fpc = jnp.asarray(rng.normal(size=(batch, n, 3)).astype(np.float32))
     mrpc = jnp.asarray(rng.normal(size=(batch, n, 3)).astype(np.float32))
-    model = PuzzleNet(num_points=n)
+    model = PuzzleNet(num_points=n,
+                      dtype=jnp.bfloat16 if bf16 else jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), fpc, mrpc, train=False)
 
     @jax.jit
@@ -225,7 +226,8 @@ def cpu_baseline(batch=BATCH, n=NPOINTS):
     return pps, rec
 
 
-def measure_train_step(batch=BATCH, n=NPOINTS, iters=10, warmup=2):
+def measure_train_step(batch=BATCH, n=NPOINTS, iters=10, warmup=2,
+                       bf16=False):
     """Full jitted training step (loss_mode 1, fwd+bwd+adam) pairs/s."""
     import functools
 
@@ -238,7 +240,8 @@ def measure_train_step(batch=BATCH, n=NPOINTS, iters=10, warmup=2):
     from puzzlenet_tpu.train.trainer import Trainer, train_step
 
     cfg = Config(dataset="vaser", batch_size=batch, num_points=n,
-                 output_path="/tmp/bench_train", loss_mode=1, lr=0.9e-3)
+                 output_path="/tmp/bench_train", loss_mode=1, lr=0.9e-3,
+                 bf16=bf16)
     tr = Trainer(cfg)
     import jax.numpy as jnp
     clouds = jnp.asarray(np.asarray(category_clouds("vaser"))[:batch])
@@ -263,13 +266,22 @@ def measure_train_step(batch=BATCH, n=NPOINTS, iters=10, warmup=2):
 
 def main():
     _enable_compile_cache()
-    value = measure_tpu()
+    v_f32 = measure_tpu()
+    v_bf16 = measure_tpu(bf16=True)
+    # headline = the serving dtype (bf16 activations + bf16-operand
+    # f32-accum matmuls — the TPU's native rate; eval-metric deltas vs
+    # f32 are documented in PERFORMANCE.md), f32 kept alongside
+    value, dtype = ((v_bf16, "bf16") if v_bf16 >= v_f32
+                    else (v_f32, "f32"))
     baseline, prov = cpu_baseline()
     line = {
         "metric": "inference_pairs_per_sec_1024pts",
         "value": round(value, 2),
         "unit": "piece-pairs/s/chip",
         "vs_baseline": round(value / baseline, 2),
+        "dtype": dtype,
+        "pairs_s_f32": round(v_f32, 2),
+        "pairs_s_bf16": round(v_bf16, 2),
         "baseline": {k: prov[k] for k in
                      ("pairs_per_sec", "batch", "n", "torch")},
     }
@@ -277,6 +289,9 @@ def main():
         train_pps, step_ms = measure_train_step()
         line["train_pairs_per_sec"] = round(train_pps, 2)
         line["train_step_ms"] = round(step_ms, 2)
+        bf_pps, bf_ms = measure_train_step(bf16=True)
+        line["train_step_ms_bf16"] = round(bf_ms, 2)
+        line["train_pairs_per_sec_bf16"] = round(bf_pps, 2)
     print(json.dumps(line))
 
 

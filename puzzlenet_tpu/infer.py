@@ -204,7 +204,7 @@ class Session:
         }
 
     def assemble(self, pieces, pad_to=8, refine_iters=0, icp_iters=0,
-                 algo="spanning"):
+                 algo="spanning", sync_iters=0, grow=False):
         """Multi-piece reassembly with this session's weights.
 
         ``algo``: ``"spanning"`` (pose-graph over the pair-score minimum
@@ -216,15 +216,22 @@ class Session:
         None/0 to compile exactly-K programs instead).
         ``refine_iters``/``icp_iters``: per-merge/per-edge pose polish —
         extra network forwards on the aligned pair / boundary-ICP
-        iterations (see assembly.greedy_assemble)."""
+        iterations (see assembly.greedy_assemble).
+        ``sync_iters`` (sync only): iterative re-measurement rounds on
+        the posed stack. ``grow`` (greedy only): accretion mode."""
         from .assembly import (greedy_assemble, spanning_assemble,
                                sync_assemble)
 
         fn = {"greedy": greedy_assemble, "spanning": spanning_assemble,
               "sync": sync_assemble}[algo]
+        kw = {}
+        if algo == "sync" and sync_iters:
+            kw["sync_iters"] = sync_iters
+        if algo == "greedy" and grow:
+            kw["grow"] = True
         return fn(self.model, self.variables, pieces,
                   num_points=self.num_points, pad_to=pad_to or None,
-                  refine_iters=refine_iters, icp_iters=icp_iters)
+                  refine_iters=refine_iters, icp_iters=icp_iters, **kw)
 
 
 @functools.lru_cache(maxsize=4)
