@@ -58,7 +58,7 @@ def _project_so3(M):
     return R
 
 
-def synchronize_poses(k, edges):
+def synchronize_poses(k, edges, irls_iters=0, sigma_deg=15.0):
     """Solve absolute poses from relative measurements.
 
     ``edges``: list of (i, j, M, w) — M [4, 4] maps piece-j coordinates
@@ -66,7 +66,30 @@ def synchronize_poses(k, edges):
     w > 0 its confidence weight. Every piece must be reachable from
     piece 0 through the edge set. Returns k [4, 4] poses with pose[0]
     = identity.
+
+    ``irls_iters``: robust re-solving — after each solve, compute every
+    edge's rotation residual against the solution and shrink its weight
+    with a Cauchy kernel (w / (1 + (theta/sigma)^2)); gross outlier
+    measurements (non-adjacent pairs that slipped through edge
+    selection, bad pose predictions) lose their influence without any
+    extra network forwards. ``sigma_deg``: residual scale of the kernel.
     """
+    cur = edges
+    for _ in range(max(0, irls_iters)):
+        poses = _solve_once(k, cur)
+        cur = []
+        # standard IRLS: reweight the ORIGINAL weights by the latest
+        # residuals (compounding the shrunk weights collapses the graph
+        # and the spectral solve diverges)
+        for i, j, M, w in edges:
+            R_est = poses[i][:3, :3].T @ poses[j][:3, :3]
+            c = (np.trace(M[:3, :3].T @ R_est) - 1) / 2
+            theta = np.degrees(np.arccos(np.clip(c, -1, 1)))
+            cur.append((i, j, M, w / (1.0 + (theta / sigma_deg) ** 2)))
+    return _solve_once(k, cur)
+
+
+def _solve_once(k, edges):
     # --- rotation synchronization (spectral) ---
     A = np.zeros((3 * k, 3 * k))
     deg = np.zeros(k)
@@ -80,13 +103,18 @@ def synchronize_poses(k, edges):
     # V_i ~= R_i^T Q (A's blocks are R_ij = R_i^T R_j, so V_j = R_j^T Q
     # is a fixed point); the gauged absolute rotation is
     # R_0^T R_i = V_0 V_i^T, which also cancels the global O(3)
-    # ambiguity Q (including an improper/reflection component — both
-    # factors carry it)
+    # ambiguity Q. Q may carry a REFLECTION (eigh returns an arbitrary
+    # orthogonal basis of the degenerate top-3 eigenspace), so the
+    # product V_0 V_i^T must be formed FIRST and projected to SO(3)
+    # once: projecting each factor separately maps the improper blocks
+    # to unrelated nearest-rotations and the reflection no longer
+    # cancels (that bug made the solve garbage whenever det(Q) < 0 —
+    # about half of all solves).
     d = np.repeat(np.maximum(deg, 1e-12), 3)
     _, vecs = np.linalg.eigh(A / d[:, None])
     V = vecs[:, -3:]                                  # [3k, 3]
-    R0 = _project_so3(V[0:3])
-    rots = [R0 @ _project_so3(V[3 * i:3 * i + 3]).T for i in range(k)]
+    V0 = V[0:3]
+    rots = [_project_so3(V0 @ V[3 * i:3 * i + 3].T) for i in range(k)]
 
     # --- translation least squares ---
     # constraint per edge: t_i - t_j + R_i t_ij = 0, gauge t_0 = 0
@@ -150,7 +178,7 @@ def _edge_selection(k, scores_np, pos, keep_frac=0.6):
 
 def sync_assemble(model, variables, pieces, num_points=None, pad_to=None,
                   refine_iters=0, icp_iters=0, keep_frac=0.6,
-                  sync_iters=0):
+                  sync_iters=0, irls_iters=2):
     """Assemble K fragments by global pose synchronization over the
     score-weighted pairwise measurement graph (module docstring). Same
     contract as the other assemblers: result in the FIRST piece's frame.
@@ -158,7 +186,9 @@ def sync_assemble(model, variables, pieces, num_points=None, pad_to=None,
     ``keep_frac``: fraction of undirected pairs (best direction each)
     fed to the solver; the MST is always unioned in so the graph stays
     connected. ``refine_iters``/``icp_iters`` polish each kept edge
-    exactly as in spanning_assemble.
+    exactly as in spanning_assemble. ``irls_iters``: Cauchy-reweighted
+    re-solves inside every synchronization (see synchronize_poses) —
+    outlier edges are shrunk out of the solution at numpy cost only.
 
     ``sync_iters``: iterative measurement refinement — after each solve,
     pose every slot by its current estimate, re-run the batched pairwise
@@ -210,7 +240,7 @@ def sync_assemble(model, variables, pieces, num_points=None, pad_to=None,
         edge_mats.append(m)
         edge_scores.append(float(s))
 
-    poses = synchronize_poses(k, edges)
+    poses = synchronize_poses(k, edges, irls_iters=irls_iters)
 
     for _ in range(sync_iters):
         poses_full = jnp.asarray(np.stack(
@@ -236,7 +266,7 @@ def sync_assemble(model, variables, pieces, num_points=None, pad_to=None,
             order.append((i, j))
             edge_mats.append(m)
             edge_scores.append(float(s))
-        poses = synchronize_poses(k, edges)
+        poses = synchronize_poses(k, edges, irls_iters=irls_iters)
 
     poses_full = np.stack(
         poses + [np.eye(4, dtype=np.float32)] * (k0 - k))
