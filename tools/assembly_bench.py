@@ -116,6 +116,10 @@ def main(argv=None):
     p.add_argument("--grow", action="store_true",
                    help="greedy only: accretion mode — grow one cluster "
                         "instead of free pair merging")
+    p.add_argument("--keep_frac", type=float, default=None,
+                   help="sync only: fraction of undirected pairs fed to "
+                        "the solver (default 0.6; 1.0 = all, relying on "
+                        "IRLS to downweight outliers)")
     args = p.parse_args(argv)
 
     from puzzlenet_tpu.assembly import (greedy_assemble, spanning_assemble,
@@ -138,6 +142,10 @@ def main(argv=None):
         if args.algo != "greedy":
             p.error("--grow requires --algo greedy")
         assemble = functools.partial(assemble, grow=True)
+    if args.keep_frac is not None:
+        if args.algo != "sync":
+            p.error("--keep_frac requires --algo sync")
+        assemble = functools.partial(assemble, keep_frac=args.keep_frac)
 
     # warmup: compile the padded-8 program pair once (K=k_max slots)
     cloud, scattered, _ = one_problem(family, 0, args.k_min,
