@@ -1,0 +1,130 @@
+"""Pairwise-accuracy probe for multi-piece assembly (diagnostic tool).
+
+Assembly quality is bounded by the pairwise net's accuracy on ADJACENT
+fragment pairs at each K — this tool measures exactly that, separating
+the three failure sources the assemblers cannot distinguish on their own:
+
+* pose error of the score-chosen direction on adjacent pairs (what the
+  spanning/sync solvers actually consume),
+* pose error of the oracle-best direction (role-asymmetry ceiling),
+* whether the MST edge selection lands on truly adjacent pairs.
+
+Usage:
+    python tools/pairwise_probe.py --run_dir TRG/vaser_bfp_fc \
+        [--ks 3,4,6,8] [--seeds 8] [--family vase]
+
+The reference has no multi-piece code (SURVEY.md par. 0); this probes the
+beyond-reference assembly stack (assembly/).
+"""
+
+import argparse
+import functools
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+import numpy as np
+
+
+def rot_err(Ra, Rb):
+    c = (np.trace(Ra.T @ Rb) - 1) / 2
+    return float(np.degrees(np.arccos(np.clip(c, -1, 1))))
+
+
+def probe(model, variables, family, ks, seeds, npoint):
+    import jax
+    import jax.numpy as jnp
+
+    from puzzlenet_tpu.assembly import (fragment_cloud, greedy,
+                                        scatter_pieces, spanning)
+    from puzzlenet_tpu.data import synthetic_clouds
+    from puzzlenet_tpu.semath import se3
+
+    score_jit = functools.partial(jax.jit, static_argnames=("model",))(
+        greedy._pair_forward)
+    rows = []
+    for K in ks:
+        chosen_errs, oracle_errs, mst_adj = [], [], []
+        for seed in range(seeds):
+            rng = np.random.default_rng(seed)
+            cloud = synthetic_clouds(family, count=1, n_points=8192,
+                                     seed=100000 + seed)[0]
+            pieces = fragment_cloud(cloud, K, npoint, rng)
+            adj = np.zeros((K, K), bool)
+            for i in range(K):
+                for j in range(i + 1, K):
+                    d = np.min(((pieces[i][:, None] - pieces[j][None]) ** 2
+                                ).sum(-1))
+                    adj[i, j] = adj[j, i] = d < 1e-3
+            scattered, gts = scatter_pieces(pieces, rng)
+            stack = jnp.asarray(np.stack(scattered))
+            pairs = [(i, j) for i in range(K) for j in range(K) if i != j]
+            pos = {ij: p for p, ij in enumerate(pairs)}
+            fpc = stack[jnp.asarray([i for i, _ in pairs])]
+            mrpc = stack[jnp.asarray([j for _, j in pairs])]
+            twists, scores, _, _ = score_jit(model, variables, fpc, mrpc)
+            mats = np.asarray(se3.exp(twists))
+            scores = np.asarray(scores)
+            for i in range(K):
+                for j in range(i + 1, K):
+                    if not adj[i, j]:
+                        continue
+                    pf, pr = pos[(i, j)], pos[(j, i)]
+                    Mstar = gts[i] @ np.linalg.inv(gts[j])
+                    e_f = rot_err(mats[pf][:3, :3], Mstar[:3, :3])
+                    e_r = rot_err(mats[pr][:3, :3],
+                                  np.linalg.inv(Mstar)[:3, :3])
+                    chosen_errs.append(
+                        e_f if scores[pf] <= scores[pr] else e_r)
+                    oracle_errs.append(min(e_f, e_r))
+            tree = spanning._mst(
+                K, lambda a, b: min(scores[pos[(a, b)]],
+                                    scores[pos[(b, a)]]))
+            mst_adj.append(np.mean([adj[a][b] for a, b in tree]))
+        c, o = np.asarray(chosen_errs), np.asarray(oracle_errs)
+        row = {"k": K,
+               "chosen_p50": float(np.median(c)),
+               "chosen_p90": float(np.percentile(c, 90)),
+               "oracle_p50": float(np.median(o)),
+               "frac_chosen_lt10deg": float(np.mean(c < 10)),
+               "mst_adjacent_frac": float(np.mean(mst_adj)),
+               "n_adjacent_pairs": int(len(c))}
+        rows.append(row)
+        print(f"K={K}: adj-pair rot err, chosen-dir p50={row['chosen_p50']:.1f} "
+              f"p90={row['chosen_p90']:.1f} | oracle-dir "
+              f"p50={row['oracle_p50']:.1f} | frac chosen<10deg="
+              f"{row['frac_chosen_lt10deg']:.2f} | MST edges adjacent="
+              f"{row['mst_adjacent_frac']:.2f}", flush=True)
+    return rows
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--run_dir", required=True)
+    p.add_argument("--ks", default="3,4,6,8")
+    p.add_argument("--seeds", type=int, default=8)
+    p.add_argument("--num_points", type=int, default=1024)
+    p.add_argument("--family", default=None)
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+
+    from puzzlenet_tpu.data.registry import _NAMES
+    from tools.assembly_bench import load_model
+
+    model, variables, cfg = load_model(args.run_dir, args.num_points)
+    family = args.family or _NAMES.get(cfg.dataset, (None, "vase"))[1]
+    ks = [int(x) for x in args.ks.split(",")]
+    rows = probe(model, variables, family, ks, args.seeds, args.num_points)
+    if args.out:
+        import json
+        with open(args.out, "w") as f:
+            json.dump({"run_dir": args.run_dir, "family": family,
+                       "rows": rows}, f, indent=2)
+        print("wrote", args.out)
+    return rows
+
+
+if __name__ == "__main__":
+    main()
