@@ -267,12 +267,18 @@ def measure_train_step(batch=BATCH, n=NPOINTS, iters=10, warmup=2,
 def main():
     _enable_compile_cache()
     v_f32 = measure_tpu()
-    v_bf16 = measure_tpu(bf16=True)
-    # headline = the serving dtype (bf16 activations + bf16-operand
-    # f32-accum matmuls — the TPU's native rate; eval-metric deltas vs
-    # f32 are documented in PERFORMANCE.md), f32 kept alongside
-    value, dtype = ((v_bf16, "bf16") if v_bf16 >= v_f32
-                    else (v_f32, "f32"))
+    # headline = the better of the two serving dtypes (bf16 = activations
+    # + bf16-operand f32-accum matmuls, the TPU's native rate;
+    # eval-metric deltas vs f32 are documented in PERFORMANCE.md); the
+    # bf16 leg is best-effort so a bf16-only failure can never take down
+    # the whole bench line
+    value, dtype = v_f32, "f32"
+    try:
+        v_bf16 = measure_tpu(bf16=True)
+        if v_bf16 >= v_f32:
+            value, dtype = v_bf16, "bf16"
+    except Exception:
+        v_bf16 = None
     baseline, prov = cpu_baseline()
     line = {
         "metric": "inference_pairs_per_sec_1024pts",
@@ -281,17 +287,21 @@ def main():
         "vs_baseline": round(value / baseline, 2),
         "dtype": dtype,
         "pairs_s_f32": round(v_f32, 2),
-        "pairs_s_bf16": round(v_bf16, 2),
         "baseline": {k: prov[k] for k in
                      ("pairs_per_sec", "batch", "n", "torch")},
     }
+    if v_bf16 is not None:
+        line["pairs_s_bf16"] = round(v_bf16, 2)
     if os.environ.get("PUZZLENET_BENCH_NO_TRAIN", "") != "1":
         train_pps, step_ms = measure_train_step()
         line["train_pairs_per_sec"] = round(train_pps, 2)
         line["train_step_ms"] = round(step_ms, 2)
-        bf_pps, bf_ms = measure_train_step(bf16=True)
-        line["train_step_ms_bf16"] = round(bf_ms, 2)
-        line["train_pairs_per_sec_bf16"] = round(bf_pps, 2)
+        try:
+            bf_pps, bf_ms = measure_train_step(bf16=True)
+            line["train_step_ms_bf16"] = round(bf_ms, 2)
+            line["train_pairs_per_sec_bf16"] = round(bf_pps, 2)
+        except Exception:
+            pass
     print(json.dumps(line))
 
 
