@@ -21,31 +21,35 @@ assemblers share (greedy._pair_forward), so pad_to compile-stability
 carries over unchanged.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..semath import se3
-from .greedy import AssemblyResult, _pair_forward
+from .greedy import AssemblyResult
 
 
-@functools.partial(jax.jit, static_argnames=("model",))
-def _score_posed_jit(model, variables, stack, poses, active, idx_i, idx_j):
-    """Score every ordered slot pair of the POSED stack (each slot
-    transformed by its current absolute pose estimate) in one batched
-    forward. With a good pose estimate the true-neighbor pairs are almost
-    aligned, so the net's output is a small residual correction — the
-    measurement update of the iterative synchronization loop
-    (``sync_iters``). Fixed shapes: one compilation serves every
-    iteration and every K <= pad_to."""
-    posed = se3.transform_points(poses, stack)
-    twists, scores, top_f, top_m = _pair_forward(model, variables,
-                                                 posed[idx_i], posed[idx_j])
-    valid = active[idx_i] & active[idx_j]
-    scores = jnp.where(valid, scores, jnp.inf)
-    return se3.exp(twists), scores, top_f, top_m
+@jax.jit
+def _pose_stack_jit(stack, poses):
+    """Transform every slot by its current absolute pose estimate (the
+    tiny first half of a sync_iters re-measurement; the scoring half
+    reuses spanning._score_all_jit's already-compiled program — a
+    separate fused program here would pay a second full-network XLA
+    compile for an identical body)."""
+    return se3.transform_points(poses, stack)
+
+
+def _score_posed(model, variables, stack, poses, active, idx_i, idx_j):
+    """Score every ordered slot pair of the POSED stack in one batched
+    forward. With a good pose estimate the true-neighbor pairs are
+    almost aligned, so the net's output is a small residual correction —
+    the measurement update of the iterative synchronization loop
+    (``sync_iters``). Fixed shapes: the same two compiled programs serve
+    every iteration and every K <= pad_to."""
+    from .spanning import _score_all_jit
+
+    posed = _pose_stack_jit(stack, poses)
+    return _score_all_jit(model, variables, posed, active, idx_i, idx_j)
 
 
 def _project_so3(M):
@@ -245,14 +249,17 @@ def sync_assemble(model, variables, pieces, num_points=None, pad_to=None,
     for _ in range(sync_iters):
         poses_full = jnp.asarray(np.stack(
             poses + [np.eye(4, dtype=np.float32)] * (k0 - k)))
-        mats_r, scores_r, _, _ = _score_posed_jit(
+        mats_r, scores_r, _, _ = _score_posed(
             model, variables, stack, poses_full, active, idx_i, idx_j)
+        # one bulk transfer: per-edge device slices would each pay a
+        # tunnel round trip
+        mats_np = np.asarray(mats_r)
         scores_np = np.asarray(scores_r)
         kept = _edge_selection(k, scores_np, pos, keep_frac)
         edges, order, edge_mats, edge_scores = [], [], [], []
         for (i, j), (p_sel, inv, s) in sorted(kept.items(),
                                               key=lambda kv: kv[1][2]):
-            corr = np.asarray(mats_r[p_sel])
+            corr = mats_np[p_sel]
             # corr maps the posed moved slot onto the posed fixed slot;
             # pull it back to piece frames: x_i = T_i^-1 corr T_j x_j
             if inv:                       # fixed=j, moved=i measured

@@ -268,12 +268,16 @@ def make_batch(key, clouds, npoint=NPOINT, boundary_k=128, mag=0.8,
         down = jnp.where(reject, s_down, down)
     fpcb, rpcb, fpc_idx, rpc_idx = get_boundary(down, up, boundary_k)
 
-    # random mag twist on the up piece (MovedCADDataset2 semantics)
+    # random mag twist on the up piece (MovedCADDataset2 semantics).
+    # The fixed-mag path keeps using the UNSPLIT key so the twist RNG
+    # stream (and every documented seed-for-seed run) is unchanged.
     def per_twist(k):
+        if not mag_randomly:
+            x = jax.random.normal(k, (6,), clouds.dtype)
+            return x / jnp.linalg.norm(x) * mag
         k_dir, k_amp = jax.random.split(k)
         x = jax.random.normal(k_dir, (6,), clouds.dtype)
-        amp = (mag * jax.random.uniform(k_amp, (), clouds.dtype)
-               if mag_randomly else mag)
+        amp = mag * jax.random.uniform(k_amp, (), clouds.dtype)
         return x / jnp.linalg.norm(x) * amp
 
     twists = jax.vmap(per_twist)(keys[:, 7])

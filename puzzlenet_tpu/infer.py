@@ -225,9 +225,13 @@ class Session:
         fn = {"greedy": greedy_assemble, "spanning": spanning_assemble,
               "sync": sync_assemble}[algo]
         kw = {}
-        if algo == "sync" and sync_iters:
+        if sync_iters:
+            if algo != "sync":
+                raise ValueError("sync_iters requires algo='sync'")
             kw["sync_iters"] = sync_iters
-        if algo == "greedy" and grow:
+        if grow:
+            if algo != "greedy":
+                raise ValueError("grow requires algo='greedy'")
             kw["grow"] = True
         return fn(self.model, self.variables, pieces,
                   num_points=self.num_points, pad_to=pad_to or None,

@@ -225,6 +225,7 @@ def main(argv=None):
                        "refine_iters": args.refine_iters,
                        "icp_iters": args.icp_iters,
                        "sync_iters": args.sync_iters,
+                       "keep_frac": args.keep_frac,
                        "grow": args.grow, "rows": rows}, f,
                       indent=2)
         print("wrote", args.out)

@@ -18,7 +18,6 @@ beyond-reference assembly stack (assembly/).
 """
 
 import argparse
-import functools
 import os
 import sys
 
@@ -42,8 +41,7 @@ def probe(model, variables, family, ks, seeds, npoint):
     from puzzlenet_tpu.data import synthetic_clouds
     from puzzlenet_tpu.semath import se3
 
-    score_jit = functools.partial(jax.jit, static_argnames=("model",))(
-        greedy._pair_forward)
+    score_jit = greedy._pair_forward_jit
     rows = []
     for K in ks:
         chosen_errs, oracle_errs, mst_adj = [], [], []
@@ -52,12 +50,19 @@ def probe(model, variables, family, ks, seeds, npoint):
             cloud = synthetic_clouds(family, count=1, n_points=8192,
                                      seed=100000 + seed)[0]
             pieces = fragment_cloud(cloud, K, npoint, rng)
+            # adjacency threshold scaled to the sampling density: truly
+            # adjacent fragments meet at ~one point-spacing across the
+            # cut (a fixed constant breaks at other --num_points)
+            d00 = ((pieces[0][:, None] - pieces[0][None]) ** 2).sum(-1)
+            np.fill_diagonal(d00, np.inf)
+            spacing2 = float(np.median(d00.min(axis=1)))
+            thresh = 6.25 * spacing2          # (2.5 x spacing)^2
             adj = np.zeros((K, K), bool)
             for i in range(K):
                 for j in range(i + 1, K):
                     d = np.min(((pieces[i][:, None] - pieces[j][None]) ** 2
                                 ).sum(-1))
-                    adj[i, j] = adj[j, i] = d < 1e-3
+                    adj[i, j] = adj[j, i] = d < thresh
             scattered, gts = scatter_pieces(pieces, rng)
             stack = jnp.asarray(np.stack(scattered))
             pairs = [(i, j) for i in range(K) for j in range(K) if i != j]
