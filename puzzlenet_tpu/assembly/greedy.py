@@ -52,6 +52,24 @@ def _pair_tables(k0):
     return pairs, idx_i, idx_j
 
 
+def _prepare_slots(pieces, num_points, pad_to):
+    """Shared assembler preamble: stack the pieces into a [K0, N, 3]
+    fixed-slot device array (padded with inactive dummies up to
+    ``pad_to``), build the constant ordered-pair tables, and the active
+    mask. Returns (stack, k, pairs, idx_i, idx_j, active)."""
+    stack = jnp.stack([jnp.asarray(p, jnp.float32) for p in pieces])
+    k, n = stack.shape[0], stack.shape[1]
+    if num_points is not None and num_points != n:
+        raise ValueError(f"pieces have {n} points, expected {num_points}")
+    k0 = max(k, pad_to or 0)
+    if k0 > k:
+        stack = jnp.concatenate(
+            [stack, jnp.zeros((k0 - k, n, 3), jnp.float32)])
+    pairs, idx_i, idx_j = _pair_tables(k0)
+    active = jnp.arange(k0) < k
+    return stack, k, pairs, idx_i, idx_j, active
+
+
 def _pair_forward(model, variables, fpc, mrpc):
     """Batched pairwise net + boundary extraction + fit score.
 
@@ -107,7 +125,7 @@ def _refine_jit(model, variables, stack, i, j, mat):
     fpc = stack[i][None]
     moved = se3.transform_points(mat[None], stack[j][None])
     out = model.apply(variables, fpc, moved, train=False)
-    return se3.exp(out.twist)[0] @ mat
+    return se3._mm(se3.exp(out.twist)[0], mat)
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
@@ -119,7 +137,7 @@ def _icp_refine_jit(stack, i, j, top_f, top_m, mat, iters):
     bnd_f = stack[i][top_f]                                  # [128, 3]
     bnd_m = se3.transform_points(mat[None], stack[j][top_m][None])[0]
     corr = icp_align(bnd_m, bnd_f, iters=iters)
-    return corr @ mat
+    return se3._mm(corr, mat)
 
 
 @jax.jit
@@ -188,16 +206,8 @@ def greedy_assemble(model, variables, pieces, num_points=None,
     well-defined regardless of which slot the greedy chain happens to
     root at.
     """
-    stack = jnp.stack([jnp.asarray(p, jnp.float32) for p in pieces])
-    k, n = stack.shape[0], stack.shape[1]
-    if num_points is not None and num_points != n:
-        raise ValueError(f"pieces have {n} points, expected {num_points}")
-    k0 = max(k, pad_to or 0)
-    if k0 > k:
-        stack = jnp.concatenate(
-            [stack, jnp.zeros((k0 - k, n, 3), jnp.float32)])
-    pairs, idx_i, idx_j = _pair_tables(k0)
-    active = jnp.arange(k0) < k
+    stack, k, pairs, idx_i, idx_j, active = _prepare_slots(
+        pieces, num_points, pad_to)
 
     merge_order, transforms, win_scores = [], [], []
     # per ORIGINAL piece: current slot + accumulated pose in the final

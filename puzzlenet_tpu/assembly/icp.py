@@ -55,13 +55,20 @@ def icp_align(src, dst, iters=8, trim=2.0):
     """
     src = jnp.asarray(src, jnp.float32)
     dst = jnp.asarray(dst, jnp.float32)
+    # every matmul at HIGHEST precision: near convergence the residuals
+    # (~1e-4 on unit-scale boundary sets) sit below TPU default
+    # bf16-operand matmul error (~1e-3) — correspondences would flip and
+    # the compositions would inject orthonormality error of the same
+    # order as the sub-degree residual this polish removes (CLAUDE.md
+    # precision rule; invisible on f32 CPU tests)
+    mm = lambda a, b: jnp.matmul(a, b, precision="highest")  # noqa: E731
 
     def body(_, carry):
         R, t = carry
-        cur = src @ R.T + t                          # [n, 3]
+        cur = mm(src, R.T) + t                       # [n, 3]
         d = (jnp.sum(cur ** 2, axis=1, keepdims=True)
              + jnp.sum(dst ** 2, axis=1)[None]
-             - 2.0 * cur @ dst.T)                    # [n, m]
+             - 2.0 * mm(cur, dst.T))                 # [n, m]
         nnd = jnp.maximum(jnp.min(d, axis=1), 0.0)   # [n]
         nni = jnp.argmin(d, axis=1)
         corr = dst[nni]                              # [n, 3]
@@ -70,10 +77,10 @@ def icp_align(src, dst, iters=8, trim=2.0):
         wsum = jnp.sum(w)
         mu_s = jnp.sum(w[:, None] * cur, axis=0) / wsum
         mu_d = jnp.sum(w[:, None] * corr, axis=0) / wsum
-        H = ((w[:, None] * (cur - mu_s)).T @ (corr - mu_d))
+        H = mm((w[:, None] * (cur - mu_s)).T, corr - mu_d)
         Rd = _horn_rotation(H)
-        R_new = Rd @ R
-        t_new = Rd @ (t - mu_s) + mu_d
+        R_new = mm(Rd, R)
+        t_new = Rd @ (t - mu_s) + mu_d               # matvec: VPU, exact
         return R_new, t_new
 
     R, t = lax.fori_loop(0, iters, body,

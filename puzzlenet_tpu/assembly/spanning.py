@@ -28,7 +28,7 @@ import numpy as np
 from ..ops import farthest_point_sample
 from ..semath import se3
 from .greedy import (AssemblyResult, _icp_refine_jit, _pair_forward,
-                     _pair_tables, _refine_jit)
+                     _prepare_slots, _refine_jit)
 
 
 @functools.partial(jax.jit, static_argnames=("model",))
@@ -98,17 +98,10 @@ def spanning_assemble(model, variables, pieces, num_points=None,
     (parent, child), ``transforms``/``scores`` per edge, and
     ``piece_transforms`` the composed per-piece poses.
     """
-    stack = jnp.stack([jnp.asarray(p, jnp.float32) for p in pieces])
-    k, n = stack.shape[0], stack.shape[1]
-    if num_points is not None and num_points != n:
-        raise ValueError(f"pieces have {n} points, expected {num_points}")
-    k0 = max(k, pad_to or 0)
-    if k0 > k:
-        stack = jnp.concatenate(
-            [stack, jnp.zeros((k0 - k, n, 3), jnp.float32)])
-    pairs, idx_i, idx_j = _pair_tables(k0)
+    stack, k, pairs, idx_i, idx_j, active = _prepare_slots(
+        pieces, num_points, pad_to)
+    k0 = stack.shape[0]
     pos = {ij: p for p, ij in enumerate(pairs)}
-    active = jnp.arange(k0) < k
 
     mats, scores, top_f, top_m = _score_all_jit(
         model, variables, stack, active, idx_i, idx_j)

@@ -204,20 +204,13 @@ def sync_assemble(model, variables, pieces, num_points=None, pad_to=None,
     so their weights grow and wrong edges fall out of the kept set.
     Works best with a checkpoint trained with --random (random twist
     amplitude: near-identity pairs are then in-distribution)."""
-    from .greedy import _icp_refine_jit, _pair_tables, _refine_jit
+    from .greedy import _icp_refine_jit, _prepare_slots, _refine_jit
     from .spanning import _score_all_jit, _union_fps_jit
 
-    stack = jnp.stack([jnp.asarray(p, jnp.float32) for p in pieces])
-    k, n = stack.shape[0], stack.shape[1]
-    if num_points is not None and num_points != n:
-        raise ValueError(f"pieces have {n} points, expected {num_points}")
-    k0 = max(k, pad_to or 0)
-    if k0 > k:
-        stack = jnp.concatenate(
-            [stack, jnp.zeros((k0 - k, n, 3), jnp.float32)])
-    pairs, idx_i, idx_j = _pair_tables(k0)
+    stack, k, pairs, idx_i, idx_j, active = _prepare_slots(
+        pieces, num_points, pad_to)
+    k0 = stack.shape[0]
     pos = {ij: p for p, ij in enumerate(pairs)}
-    active = jnp.arange(k0) < k
 
     mats, scores, top_f, top_m = _score_all_jit(
         model, variables, stack, active, idx_i, idx_j)

@@ -66,7 +66,8 @@ class Session:
             compose the correction into ``mat`` (same compiled shape)."""
             aligned = se3.transform_points(mat, mrpc)
             out = self.model.apply(variables, fpc, aligned, train=False)
-            mat = jnp.matmul(se3.exp(out.twist), mat)
+            mat = jnp.matmul(se3.exp(out.twist), mat,
+                             precision="highest")
             probs_f = jax.nn.softmax(
                 jnp.swapaxes(out.fpcb_logits, 1, 2), axis=-1)[..., 1]
             probs_m = jax.nn.softmax(

@@ -26,20 +26,13 @@ from typing import Any, NamedTuple
 
 import flax.linen as nn
 import jax.numpy as jnp
-from jax import lax
 
-from ..ops import index_points, square_distance
+# inverse-distance 3-NN feature upsampling (PointNet++ FP semantics,
+# pointnet_util.py:265-315): fused Pallas kernel on TPU — the XLA top_k
+# formulation lowers to a full [B, N, S] sort and dominated the
+# boundary_fp forward (ops/interp_pallas.py)
 from ..ops.interp_pallas import three_nn_interpolate
 from .encoder import PCTEncoder
-
-
-def _three_nn_interpolate(q_xyz, s_xyz, s_feat):
-    """Inverse-distance 3-NN feature upsampling (PointNet++ FP semantics,
-    pointnet_util.py:265-315): pull [B, S, C] stage features onto the
-    [B, N, 3] query points. Fused Pallas kernel on TPU (the XLA top_k
-    formulation lowers to a full [B, N, S] sort and dominated the
-    boundary_fp forward); XLA math elsewhere (ops/interp_pallas.py)."""
-    return three_nn_interpolate(q_xyz, s_xyz, s_feat)
 
 
 class PuzzleNetOutput(NamedTuple):
@@ -146,10 +139,10 @@ class PuzzleNet(nn.Module):
              f1f_mrpc) = self.encoder_mrpc(mrpc, train=train,
                                            return_stages=True)
             xfeat_fpc = jnp.concatenate(
-                [xfeat_fpc, _three_nn_interpolate(fpc, fx1, f1f_fpc)],
+                [xfeat_fpc, three_nn_interpolate(fpc, fx1, f1f_fpc)],
                 axis=-1)                       # [B, N, 64 + 128]
             xfeat_mrpc = jnp.concatenate(
-                [xfeat_mrpc, _three_nn_interpolate(mrpc, mx1, f1f_mrpc)],
+                [xfeat_mrpc, three_nn_interpolate(mrpc, mx1, f1f_mrpc)],
                 axis=-1)
         else:
             f_fpc, fx2, fattn, _, xfeat_fpc = self.encoder_fpc(

@@ -343,6 +343,12 @@ class Trainer:
         (data/device_pipeline.py) from a preloaded cloud stack — no host
         data path at all. ``clouds``: [n_clouds, M, 3] array.
 
+        Validation runs on device too (eval_step metric suite + val loss
+        scalars every check_val_every_n_epoch epochs, on a fixed batch
+        from a held-out key); ``val_ds`` is accepted for fit() signature
+        compatibility but unused — the device path never touches host
+        datasets.
+
         The reference's equivalent is 64 DataLoader worker processes
         feeding the GPU (train.py:100-109); here the whole pipeline (cut,
         masked FPS, boundary, twist) is device time per batch.
@@ -415,6 +421,18 @@ class Trainer:
         viz_batch_fn = jax.jit(functools.partial(
             make_batch, npoint=cfg.num_points, cut=cut,
             split_twice=split_twice))
+        # periodic validation (the host fit()'s check_val_every_n_epoch
+        # cadence, model5_b.py:1172-1277 metrics): one FIXED batch drawn
+        # from a held-out key — procedurally fresh cuts/twists the
+        # training stream never sees. Val stays on the single-cut pair
+        # distribution (frag_cuts is a training-distribution knob).
+        val_every = max(1, cfg.check_val_every_n_epoch * steps_per_epoch)
+        val_batch_fn = jax.jit(functools.partial(
+            make_batch, npoint=cfg.num_points, cut=cut,
+            split_twice=split_twice, mag_randomly=cfg.random))
+        val_batch = None
+        eval_jit = jax.jit(eval_step,
+                           static_argnames=("model", "pretrain", "flags"))
         losses = []
         done = int(state.step)
         while done < steps:
@@ -434,6 +452,15 @@ class Trainer:
             if save_every and done % save_every < n and done < steps:
                 self.save_checkpoint(state, done,
                                      float(jnp.mean(losses[-1])))
+            if done % val_every < n or done == steps:
+                if val_batch is None:
+                    val_batch = shard_batch(self.mesh, val_batch_fn(
+                        jax.random.fold_in(key, 0x7FFFFFFF),
+                        clouds[:cfg.batch_size]))
+                vals = eval_jit(self.model, pretrain, state, val_batch,
+                                self.flags)
+                for tag, v in vals.items():
+                    self.logger.scalar(tag, float(v), done)
             if cfg.viz_every and done % cfg.viz_every < n:
                 viz_batch = viz_batch_fn(
                     jax.random.fold_in(key, steps + done),
