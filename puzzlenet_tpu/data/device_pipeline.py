@@ -178,7 +178,13 @@ def _twice_masks(ks, cloud, cut, npoint):
     datasets.py::_getitem_twice for the host twin): returns
     (moved_mask, fixed_mask, need_chamfer_check, use_single)."""
     m = cloud.shape[0]
-    first_up, _ = _partition(ks[0], cloud, cut, npoint)
+    # the FIRST cut is UNGATED, like the host twin's raw slicer draw
+    # (datasets.py:125): a lopsided first cut is exactly what drives the
+    # se-scheme's merge/fallback branches (len(other) < npoint). Using
+    # the size-gated _partition here made `other_small` unreachable — a
+    # silent training-distribution deviation from the host/reference
+    # --random_slice path.
+    first_up = _candidate_masks(ks[0], cloud, cut)[:, 0]
     seed3 = jax.random.randint(ks[1], (), 0, 3)
     n_up = jnp.sum(first_up)
     n_down = m - n_up

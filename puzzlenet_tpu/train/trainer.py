@@ -142,6 +142,8 @@ def eval_step(model, pretrain, state, batch, flags=None):
         loss, lmetrics = compute_losses(out, batch, flags, pretrain)
         vals["val/loss"] = loss
         for k, v in lmetrics.items():
+            if k == "train_loss":
+                continue        # already logged as val/loss
             # train/loss_re -> val/loss_re etc.; skip duplicated iou tags
             tag = k.replace("train/", "val/").replace("train_", "val_")
             vals.setdefault(tag, v)
@@ -288,12 +290,15 @@ class Trainer:
                         if cfg.resume:
                             state = self.restore_checkpoint(state,
                                                             cfg.resume)
+                            # continue the original run's step axis (TB
+                            # scalars, lr logging, max_steps accounting)
+                            global_step = int(state.step)
                     state, metrics = train_step(
                         self.model, self.tx, self.flags, pretrain, state,
                         batch)
                     global_step += 1
                     epoch_losses.append(metrics["train_loss"])
-                    if global_step % 50 == 0 or global_step == 1:
+                    if global_step % cfg.log_every == 0 or global_step == 1:
                         vals = {k: float(v) for k, v in metrics.items()}
                         vals["lr"] = float(lr_schedule(cfg.lr)(
                             global_step - 1))
@@ -379,6 +384,10 @@ class Trainer:
         cut = category_cut(cfg.dataset) if cut is None else cut
         split_twice = (cfg.random_slice if split_twice is None
                        else split_twice)
+        if cfg.frag_cuts and split_twice:
+            print("WARNING: --frag_cuts only applies to the single-cut "
+                  "path; ignored under --random_slice/split_twice",
+                  flush=True)
         steps_per_epoch = max(1, n_clouds // cfg.batch_size)
         if pretrain_steps is None:
             pretrain_steps = cfg.pretrain_epochs * steps_per_epoch
@@ -407,9 +416,16 @@ class Trainer:
                 return state, metrics["train_loss"]
             return jax.lax.scan(body, state, None, length=n_steps)
 
-        # init from one eagerly-built batch
+        # init from one eagerly-built batch; sample WITH replacement like
+        # the training path so n_clouds < batch_size still yields a full,
+        # mesh-divisible batch (clouds[:B] would crash shard_batch)
+        def sample_clouds(k):
+            sel = jax.random.choice(k, n_clouds, (cfg.batch_size,),
+                                    replace=n_clouds < cfg.batch_size)
+            return clouds[sel]
+
         first = shard_batch(self.mesh, jax.jit(
-            lambda k: make_batch(k, clouds[:cfg.batch_size],
+            lambda k: make_batch(k, sample_clouds(k),
                                  npoint=cfg.num_points, cut=cut,
                                  split_twice=split_twice,
                                  frag_cuts=cfg.frag_cuts,
@@ -420,7 +436,8 @@ class Trainer:
 
         viz_batch_fn = jax.jit(functools.partial(
             make_batch, npoint=cfg.num_points, cut=cut,
-            split_twice=split_twice))
+            split_twice=split_twice, frag_cuts=cfg.frag_cuts,
+            mag_randomly=cfg.random))
         # periodic validation (the host fit()'s check_val_every_n_epoch
         # cadence, model5_b.py:1172-1277 metrics): one FIXED batch drawn
         # from a held-out key — procedurally fresh cuts/twists the
@@ -431,8 +448,6 @@ class Trainer:
             make_batch, npoint=cfg.num_points, cut=cut,
             split_twice=split_twice, mag_randomly=cfg.random))
         val_batch = None
-        eval_jit = jax.jit(eval_step,
-                           static_argnames=("model", "pretrain", "flags"))
         losses = []
         done = int(state.step)
         while done < steps:
@@ -441,7 +456,7 @@ class Trainer:
             limit = pretrain_steps if pretrain else steps
             n = min(scan_chunk, limit - done)
             state, chunk_losses = chunk_fn(pretrain, n, state)
-            losses.append(chunk_losses)
+            losses = [chunk_losses]      # only the latest window is read
             done += n
             if done % log_every < n or done == limit:
                 window = float(jnp.mean(losses[-1]))
@@ -454,17 +469,16 @@ class Trainer:
                                      float(jnp.mean(losses[-1])))
             if done % val_every < n or done == steps:
                 if val_batch is None:
+                    vk = jax.random.fold_in(key, 0x7FFFFFFF)
                     val_batch = shard_batch(self.mesh, val_batch_fn(
-                        jax.random.fold_in(key, 0x7FFFFFFF),
-                        clouds[:cfg.batch_size]))
-                vals = eval_jit(self.model, pretrain, state, val_batch,
-                                self.flags)
+                        vk, sample_clouds(vk)))
+                vals = eval_step(self.model, pretrain, state, val_batch,
+                                 self.flags)
                 for tag, v in vals.items():
                     self.logger.scalar(tag, float(v), done)
             if cfg.viz_every and done % cfg.viz_every < n:
-                viz_batch = viz_batch_fn(
-                    jax.random.fold_in(key, steps + done),
-                    clouds[:cfg.batch_size])
+                vzk = jax.random.fold_in(key, steps + done)
+                viz_batch = viz_batch_fn(vzk, sample_clouds(vzk))
                 self._viz_train(state, viz_batch, pretrain, done)
                 self._viz_val(state, viz_batch, pretrain, done)
         if not losses:   # resumed at/after the target step: nothing to do
