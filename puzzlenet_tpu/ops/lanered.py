@@ -112,6 +112,8 @@ def sorted_topk_supported(n, g_max=8):
 def sorted_topk_tie_band(n, g_max=8):
     """Packed low mantissa bits = the ulp band within which two distinct
     distances may swap selection (chunk bits + lane bits)."""
+    assert sorted_topk_supported(n, g_max), \
+        f"sorted_topk does not support n={n} (band undefined)"
     g = min(g_max, n // 128)
     L = n // g
     return 1 << ((g - 1).bit_length() + (L - 1).bit_length())
@@ -193,6 +195,9 @@ def sorted_topk(d, k, g_max=8, unroll=1):
     exponent by an int32 add of 1 << 23 (order-preserving on positive-
     float bit patterns; requires d < ~1.7e38)."""
     rows, n = d.shape
+    # past n extractions only sentinels remain, whose packed bits decode
+    # to garbage indices — make over-asking loud
+    assert k <= n, f"sorted_topk asked for k={k} of n={n} values"
     cols, (g, L, gb) = topk_stream_init(d, g_max)
     lanes = lax.broadcasted_iota(jnp.int32, (rows, L), 1)
     kcols = lax.broadcasted_iota(jnp.int32, (rows, k), 1)

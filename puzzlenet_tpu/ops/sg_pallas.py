@@ -132,7 +132,12 @@ def _sg_kernel(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
 
         _, idx_acc = lax.fori_loop(
             0, k, sel_body, (d0, jnp.zeros((s, k), jnp.int32)))
-    idx_ref[0] = idx_acc
+    # idx/amax exist for the backward's routing only; the no-grad primal
+    # writes tiny zero tiles and skips the argmax tracking entirely
+    if with_masks:
+        idx_ref[0] = idx_acc
+    else:
+        idx_ref[0] = jnp.zeros(idx_ref.shape[1:], jnp.int32)
 
     # phase B — gather + MLP + max over neighbor blocks of kb. A fori_loop
     # (not a Python unroll) keeps only ONE block's intermediates live in
@@ -150,29 +155,32 @@ def _sg_kernel(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
         for j in range(kb):
             rows = slice(j * s, (j + 1) * s)
             hj = hv[rows]
-            # first max wins (like lax reduce argmax): backward routes by
-            # this saved index, immune to recompute rounding
-            amax = jnp.where(hj > acc, k0 + j, amax)
-            acc = jnp.maximum(acc, hj)
             if with_masks:
+                # first max wins (like lax reduce argmax): backward routes
+                # by this saved index, immune to recompute rounding
+                amax = jnp.where(hj > acc, k0 + j, amax)
                 bit = (jnp.uint32(1) << (k0 + j).astype(jnp.uint32))
                 m1 = m1 | jnp.where(a1[rows] > 0, bit, jnp.uint32(0))
                 m2 = m2 | jnp.where(a2[rows] > 0, bit, jnp.uint32(0))
+            acc = jnp.maximum(acc, hj)
         return acc, amax, m1, m2
 
     mask_shape = (s, h1n) if with_masks else (1, 1)
     mask_shape2 = (s, h2n) if with_masks else (1, 1)
+    amax_shape = (s, h2n) if with_masks else (1, 1)
     acc, amax, m1, m2 = lax.fori_loop(
         0, k // kb, blk_body,
         (jnp.full((s, h2n), -jnp.inf, jnp.float32),
-         jnp.zeros((s, h2n), jnp.int32),
+         jnp.zeros(amax_shape, jnp.int32),
          jnp.zeros(mask_shape, jnp.uint32),
          jnp.zeros(mask_shape2, jnp.uint32)))
     out_ref[0] = acc
-    amax_ref[0] = amax
     if with_masks:
+        amax_ref[0] = amax
         mask_refs[0][0] = m1
         mask_refs[1][0] = m2
+    else:
+        amax_ref[0] = jnp.zeros(amax_ref.shape[1:], jnp.int32)
 
 
 def _sg_kernel_pipe(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
@@ -213,7 +221,8 @@ def _sg_kernel_pipe(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
         ohs = []
         for j in range(kb):
             sel = winners[:, j:j + 1]                        # [s, 1]
-            idx_acc = jnp.where(kcols == k0 + j, sel, idx_acc)
+            if with_masks:       # saved for the backward's routing only
+                idx_acc = jnp.where(kcols == k0 + j, sel, idx_acc)
             ohs.append((lane == sel).astype(jnp.bfloat16))
         oh = jnp.concatenate(ohs, axis=0)                    # [kb*s, n]
         nb = _dot(oh, cat)                                   # [kb*s, 3+C]
@@ -223,21 +232,21 @@ def _sg_kernel_pipe(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
             rows = slice(j * s, (j + 1) * s)
             hj = hv[rows]
             kj = k0 + j
-            amax = jnp.where(hj > acc, kj, amax)
-            acc = jnp.maximum(acc, hj)
             if with_masks:
+                amax = jnp.where(hj > acc, kj, amax)
                 bit = (jnp.uint32(1)
                        << jnp.asarray(kj, jnp.int32).astype(jnp.uint32))
                 m1 = m1 | jnp.where(a1[rows] > 0, bit, jnp.uint32(0))
                 m2 = m2 | jnp.where(a2[rows] > 0, bit, jnp.uint32(0))
+            acc = jnp.maximum(acc, hj)
         return idx_acc, acc, amax, m1, m2
 
     mask_shape = (s, h1n) if with_masks else (1, 1)
     mask_shape2 = (s, h2n) if with_masks else (1, 1)
     init = (cols, winners,
-            jnp.zeros((s, k), jnp.int32),
+            jnp.zeros((s, k) if with_masks else (1, 1), jnp.int32),
             jnp.full((s, h2n), -jnp.inf, jnp.float32),
-            jnp.zeros((s, h2n), jnp.int32),
+            jnp.zeros((s, h2n) if with_masks else (1, 1), jnp.int32),
             jnp.zeros(mask_shape, jnp.uint32),
             jnp.zeros(mask_shape2, jnp.uint32))
 
@@ -254,12 +263,15 @@ def _sg_kernel_pipe(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
     idx_acc, acc, amax, m1, m2 = consume_block(
         (nblk - 1) * kb, winners, idx_acc, acc, amax, m1, m2)
 
-    idx_ref[0] = idx_acc
     out_ref[0] = acc
-    amax_ref[0] = amax
     if with_masks:
+        idx_ref[0] = idx_acc
+        amax_ref[0] = amax
         mask_refs[0][0] = m1
         mask_refs[1][0] = m2
+    else:
+        idx_ref[0] = jnp.zeros(idx_ref.shape[1:], jnp.int32)
+        amax_ref[0] = jnp.zeros(amax_ref.shape[1:], jnp.int32)
 
 
 def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k, with_masks,
@@ -283,16 +295,37 @@ def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k, with_masks,
     out_specs = [
         pl.BlockSpec((1, s_blk, H2), lambda i, j: (i, j, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, s_blk, k), lambda i, j: (i, j, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, s_blk, H2), lambda i, j: (i, j, 0),
-                     memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((B, S, H2), jnp.float32),
-        jax.ShapeDtypeStruct((B, S, k), jnp.int32),
-        jax.ShapeDtypeStruct((B, S, H2), jnp.int32),
     ]
+    if with_masks:
+        # idx/amax are backward-routing artifacts: full-size only under
+        # grad; the no-grad primal gets (1, 1, 1) dummies and the kernels
+        # skip the tracking compute + HBM writes (~21 MB/call at stage 1)
+        out_specs += [
+            pl.BlockSpec((1, s_blk, k), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_blk, H2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((B, S, k), jnp.int32),
+            jax.ShapeDtypeStruct((B, S, H2), jnp.int32),
+        ]
+    else:
+        # minimal MOSAIC-legal tile, not (1,1,1): scalar output blocks
+        # are rejected on hardware (CLAUDE.md Pallas rules)
+        out_specs += [
+            pl.BlockSpec((1, 8, 128), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((1, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((1, 8, 128), jnp.int32),
+        ]
     if with_masks:
         out_specs += [
             pl.BlockSpec((1, s_blk, H), lambda i, j: (i, j, 0),
@@ -338,7 +371,7 @@ def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k, with_masks,
 
 
 def _sg_bwd_kernel(k, kb, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
-                   w2_ref, b2_ref, idx_ref, amax_ref, m1_ref, m2_ref,
+                   w2_ref, idx_ref, amax_ref, m1_ref, m2_ref,
                    g_ref, dq_ref, dcat_ref, dw1_ref, db1_ref, dw2_ref,
                    db2_ref, mmdt=jnp.float32):
     """Backward of the fused stage. Gradient routing is fully determined
@@ -356,7 +389,7 @@ def _sg_bwd_kernel(k, kb, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
     xyz = xyz_ref[0]
     feats = feats_ref[0]
     w1, b1 = w1_ref[:, :], b1_ref[:, :]
-    w2, b2 = w2_ref[:, :], b2_ref[:, :]
+    w2 = w2_ref[:, :]        # b2 is NOT an input: a2 is never recomputed
     idxmat = idx_ref[0]                    # [s, K]
     amax = amax_ref[0]                     # [s, H2] argmax neighbor index
     m1 = m1_ref[0]                         # [s, H]  relu-support bits
@@ -463,8 +496,6 @@ def _fused_backward(new_xyz, xyz, feats, w1, b1, w2, b2, idx, amax,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H2), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H2), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s_blk, k), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s_blk, H2), lambda i, j: (i, j, 0),
@@ -501,7 +532,7 @@ def _fused_backward(new_xyz, xyz, feats, w1, b1, w2, b2, idx, amax,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_INTERPRET,
-    )(new_xyz, xyz, feats, w1, b1.reshape(1, H), w2, b2.reshape(1, H2),
+    )(new_xyz, xyz, feats, w1, b1.reshape(1, H), w2,
       idx, amax, m1, m2, g)
     return (dq, dcat[:, :, :3], dcat[:, :, 3:], dw1,
             db1.reshape(b1.shape), dw2, db2.reshape(b2.shape))
