@@ -140,6 +140,23 @@ class TestKernelInterpret:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                           err_msg=name)
 
+    def test_nograd_primal_matches_masked_out(self, interpret_mode,
+                                              monkeypatch):
+        """with_masks=False (the serving primal) must produce the same
+        stage output as the under-grad forward while returning only tiny
+        zero dummies for the backward-routing artifacts (both kernel
+        variants)."""
+        args = self._kargs(2)
+        for pipe in (False, True):
+            monkeypatch.setattr(sg, "_PIPELINE", pipe)
+            full = sg._fused_forward(*args, 32, with_masks=True)
+            lean = sg._fused_forward(*args, 32, with_masks=False)
+            np.testing.assert_array_equal(np.asarray(full[0]),
+                                          np.asarray(lean[0]),
+                                          err_msg=f"pipe={pipe}")
+            assert lean[1].shape == (1, 8, 128)
+            assert lean[2].shape == (1, 8, 128)
+
 
 def _direct_k(q, xyz, feats, w1, b1, w2, b2, k):
     idx = knn_indices(q, xyz, k)
