@@ -21,8 +21,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_INTERPRET = False   # run the Pallas kernel in interpret mode (CPU tests)
+
+
 def pallas_supported():
-    return jax.default_backend() == "tpu"
+    """Pallas TPU path available on this backend (or interpret mode)?"""
+    return _INTERPRET or jax.default_backend() == "tpu"
 
 
 def _levels():
@@ -114,6 +118,7 @@ def _emd_forward_pallas(xyz1, xyz2):
         # exceed the default 16 MB scoped-vmem budget; raise it.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
     )(xyz1, xyz2)
     # cost recovered from the analytic grads: sum(g1.x1) + sum(g2.x2)
     #   = 2 sum match (x1-x2).(x1-x2) = 2 cost  (avoids a scalar output,

@@ -41,9 +41,12 @@ _LANE_QUANTUM = 1024   # pad N so the tournament splits into 128·k chunks
 _VMEM_BUDGET = 8 * 1024 * 1024  # working-set target per grid step
 
 
+_INTERPRET = False   # run the Pallas kernel in interpret mode (CPU tests)
+
+
 def pallas_supported():
-    """Pallas TPU path available on this backend?"""
-    return jax.default_backend() == "tpu"
+    """Pallas TPU path available on this backend (or interpret mode)?"""
+    return _INTERPRET or jax.default_backend() == "tpu"
 
 
 def _fps_kernel(npoint, coords_ref, start_ref, dinit_ref, out_ref):
@@ -161,5 +164,6 @@ def fps_pallas(xyz, npoint, start, valid_mask=None):
         out_shape=jax.ShapeDtypeStruct((Bp, npoint), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_INTERPRET,
     )(coords, start2, dinit)
     return out[:B]

@@ -144,3 +144,26 @@ class TestEMDGrad:
         before = float(f(x1))
         after = float(f(x1 - 1e-3 * g))
         assert after < before
+
+
+class TestEMDPallasInterpret:
+    def test_interpret_matches_lax_reference(self, monkeypatch):
+        """The fused Pallas EMD kernel, run in interpret mode on CPU,
+        reproduces the lax reference implementation exactly (same
+        annealing ladder/epsilons) for cost and analytic grads. (FTZ-class
+        hardware behavior is NOT covered here — see test_tpu_kernels.)"""
+        import jax
+
+        import puzzlenet_tpu.ops.emd_pallas as ep
+        from puzzlenet_tpu.ops.emd import earth_mover_distance as emd_lax
+
+        monkeypatch.setattr(ep, "_INTERPRET", True)
+        rng = np.random.default_rng(3)
+        a = jnp.asarray(rng.normal(size=(2, 256, 3)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(2, 256, 3)).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(ep.emd_cost_pallas(a, b)),
+                                   np.asarray(emd_lax(a, b)), rtol=1e-4)
+        g_p = jax.grad(lambda x: ep.emd_cost_pallas(x, b).sum())(a)
+        g_l = jax.grad(lambda x: emd_lax(x, b).sum())(a)
+        np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_l),
+                                   rtol=1e-3, atol=1e-5)

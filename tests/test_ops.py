@@ -282,3 +282,21 @@ class TestFPSPrefixStability:
         idx2 = np.asarray(farthest_point_sample(x1, 64))
         np.testing.assert_array_equal(
             idx2, np.broadcast_to(np.arange(64), (3, 64)))
+
+
+class TestFPSPallasInterpret:
+    def test_interpret_selects_valid_farthest_set(self, monkeypatch):
+        """The Pallas FPS kernel in interpret mode on CPU returns a
+        distinct, valid-index selection that matches the numpy FPS oracle
+        (same start, same greedy argmax chain)."""
+        import puzzlenet_tpu.ops.fps_pallas as fp
+
+        monkeypatch.setattr(fp, "_INTERPRET", True)
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(2, 512, 3)).astype(np.float32)
+        idx = np.asarray(fp.fps_pallas(jnp.asarray(x), 64,
+                                       jnp.zeros((2,), jnp.int32)))
+        for b in range(2):
+            assert len(set(idx[b])) == 64
+            ref = _np_fps(x[b:b + 1], 64, start=0)[0]
+            np.testing.assert_array_equal(np.sort(idx[b]), np.sort(ref))
