@@ -1,5 +1,6 @@
 """Multi-piece reassembly (iterative greedy pairwise matching)."""
 
+from .ensemble import ensemble_assemble
 from .fragment import fragment_cloud, scatter_pieces
 from .greedy import AssemblyResult, greedy_assemble, score_pairs
 from .icp import icp_align
@@ -7,5 +8,6 @@ from .spanning import spanning_assemble
 from .sync import sync_assemble, synchronize_poses
 
 __all__ = ["greedy_assemble", "spanning_assemble", "sync_assemble",
-           "synchronize_poses", "score_pairs", "AssemblyResult",
-           "fragment_cloud", "scatter_pieces", "icp_align"]
+           "ensemble_assemble", "synchronize_poses", "score_pairs",
+           "AssemblyResult", "fragment_cloud", "scatter_pieces",
+           "icp_align"]

@@ -1,0 +1,251 @@
+"""Hypothesis-ensemble multi-piece assembly with posed-residual
+verification.
+
+The fourth assembler. greedy / spanning / sync each commit to ONE pose
+hypothesis built from the one-shot pairwise measurements; at K >= 4 a
+single bad edge sinks the result (PERFORMANCE.md "failure diagnosis" —
+the reference has no multi-piece code at all, README.md:14, so all of
+this is beyond-reference capability). This module spends the same
+measurement budget differently:
+
+1. ONE batched scoring forward over all K*(K-1) ordered slot pairs (the
+   exact program the other assemblers share — compile-stable at pad_to).
+2. MANY pose hypotheses from those measurements, all host-side and free:
+   the MST composition, its edge-swap neighborhood (for each tree edge,
+   the cheapest alternative tree avoiding it — the K-1 most plausible
+   "the MST picked one wrong edge" repairs), and spectral
+   synchronization solves over a grid of edge-keep fractions.
+3. VERIFY each distinct hypothesis by re-running the batched pairwise
+   net on the POSED stack: in a correct assembly every piece has some
+   partner whose re-measurement is a near-identity correction with a
+   low boundary-chamfer fit score. The verification cost per hypothesis
+   is one forward of the already-compiled scoring program; wrong
+   hypotheses cannot hide, because the re-measurement is new evidence,
+   not a re-fit of the original (possibly wrong) measurements.
+   Verification is most discriminative with checkpoints trained with
+   --random (near-identity pairs in-distribution; see --frag_cuts
+   training in PERFORMANCE.md).
+4. Optionally re-synchronize from the winner's posed re-measurements
+   (the sync_iters update — the winner's verification forward is
+   already in hand, so the extra solve is host-only) and keep the
+   refinement only if it verifies strictly better.
+
+Device program inventory: the shared pair scorer + the posed-stack
+transform + the final union-FPS — all fixed-shape, all shared with the
+other assemblers; no hypothesis ever compiles anything new.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..semath import se3  # noqa: F401  (kept: se3.exp used via greedy)
+from .greedy import AssemblyResult, _prepare_slots
+from .spanning import _mst, _score_all_jit, _union_fps_jit
+from .sync import _edge_selection, _score_posed, synchronize_poses
+
+
+def _compose_tree(k, tree, mats_np, scores_np, pos):
+    """BFS-compose absolute poses (anchor = piece 0) along ``tree``
+    edges, per edge taking the better-scoring direction's measurement
+    (the net's mat maps its moved/second piece into its fixed/first
+    piece's frame)."""
+    adj = {i: [] for i in range(k)}
+    for i, j in tree:
+        adj[i].append(j)
+        adj[j].append(i)
+    poses = [None] * k
+    poses[0] = np.eye(4, dtype=np.float32)
+    frontier = [0]
+    while frontier:
+        p = frontier.pop()
+        for c in adj[p]:
+            if poses[c] is not None:
+                continue
+            fwd, rev = pos[(p, c)], pos[(c, p)]
+            if scores_np[fwd] <= scores_np[rev]:
+                m = mats_np[fwd]
+            else:
+                m = np.linalg.inv(mats_np[rev]).astype(np.float32)
+            poses[c] = (poses[p] @ m).astype(np.float32)
+            frontier.append(c)
+    return poses
+
+
+def _tree_swaps(k, tree, weight):
+    """The edge-swap neighborhood of a spanning tree: for each tree edge,
+    drop it and reconnect the two components with the cheapest non-tree
+    edge. Returns a list of alternative trees (edges as (i, j), i < j)."""
+    out = []
+    for drop in tree:
+        rest = [e for e in tree if e != drop]
+        adj = {i: [] for i in range(k)}
+        for i, j in rest:
+            adj[i].append(j)
+            adj[j].append(i)
+        comp = set()
+        stack = [drop[0]]
+        while stack:
+            x = stack.pop()
+            if x in comp:
+                continue
+            comp.add(x)
+            stack.extend(adj[x])
+        best, best_e = np.inf, None
+        for i in range(k):
+            for j in range(i + 1, k):
+                if (i, j) == drop or ((i in comp) == (j in comp)):
+                    continue
+                w = weight(i, j)
+                if w < best:
+                    best, best_e = w, (i, j)
+        if best_e is not None:
+            out.append(rest + [best_e])
+    return out
+
+
+def _verify(k, mats_rn, scores_rn, pos, wa=1.0, wt=1.0, ws=10.0):
+    """Attachment cost of a posed hypothesis from its re-measurement:
+    mean over pieces of the best available partner's
+    ``wa * |rot residual| (rad) + wt * |t residual| + ws * fit score``
+    (both orderings considered). Lower is better; a piece with no
+    near-identity low-score partner anywhere drags the mean up."""
+    total = 0.0
+    for i in range(k):
+        best = np.inf
+        for j in range(k):
+            if i == j:
+                continue
+            for a, b in ((i, j), (j, i)):
+                p = pos[(a, b)]
+                M = mats_rn[p]
+                c = (np.trace(M[:3, :3]) - 1.0) / 2.0
+                ang = float(np.arccos(np.clip(c, -1.0, 1.0)))
+                tn = float(np.linalg.norm(M[:3, 3]))
+                v = wa * ang + wt * tn + ws * float(scores_rn[p])
+                best = min(best, v)
+        total += best
+    return total / k
+
+
+def _edges_from_selection(kept, mats_np):
+    """Turn an _edge_selection result into synchronize_poses input."""
+    edges = []
+    for (i, j), (p_sel, inv, s) in kept.items():
+        m = mats_np[p_sel]
+        if inv:
+            m = np.linalg.inv(m).astype(np.float32)
+        edges.append((i, j, m, 1.0 / (float(s) + 1e-3)))
+    return edges
+
+
+def ensemble_assemble(model, variables, pieces, num_points=None,
+                      pad_to=None, keep_fracs=(0.35, 0.6, 0.85),
+                      irls_iters=2, final_sync=True,
+                      verify_weights=(1.0, 1.0, 10.0),
+                      refine_iters=0, icp_iters=0):
+    """Assemble K fragments by verified hypothesis ensembling (module
+    docstring). Same contract as the other assemblers: fragments
+    [K, N, 3] (or list of [N, 3]) sharing N; result expressed in the
+    FIRST piece's frame.
+
+    ``keep_fracs``: edge-keep fractions for the synchronization
+    hypotheses. ``irls_iters``: Cauchy re-weighting inside each solve
+    (sync.synchronize_poses). ``final_sync``: re-synchronize from the
+    winner's posed re-measurements, kept only if it verifies better.
+    ``verify_weights``: (rotation rad, translation, fit score) weights
+    of the verification metric.
+
+    Returns ``AssemblyResult`` with ``merge_order`` = the winning
+    hypothesis's edge set (empty for sync hypotheses), ``scores`` =
+    [verification cost], and ``piece_transforms`` the winning poses.
+    """
+    if refine_iters or icp_iters:
+        raise ValueError(
+            "ensemble_assemble verifies whole-pose hypotheses instead of "
+            "polishing individual edges; use final_sync (default on) — "
+            "refine_iters/icp_iters belong to the other assemblers")
+    stack, k, pairs, idx_i, idx_j, active = _prepare_slots(
+        pieces, num_points, pad_to)
+    k0 = stack.shape[0]
+    pos = {ij: p for p, ij in enumerate(pairs)}
+    eye = np.eye(4, dtype=np.float32)
+
+    if k == 1:
+        return AssemblyResult(np.asarray(stack[0]), [], [], [0.0], [eye])
+
+    mats, scores, _, _ = _score_all_jit(
+        model, variables, stack, active, idx_i, idx_j)
+    mats_np = np.asarray(mats)
+    scores_np = np.asarray(scores)
+
+    def weight(i, j):
+        return min(scores_np[pos[(i, j)]], scores_np[pos[(j, i)]])
+
+    # --- hypotheses (host-only, no device work) ---
+    hyps = []
+    mst = _mst(k, weight)
+    hyps.append(("mst", mst, _compose_tree(k, mst, mats_np, scores_np,
+                                           pos)))
+    for t, tree in enumerate(_tree_swaps(k, mst, weight)):
+        hyps.append((f"swap{t}", tree,
+                     _compose_tree(k, tree, mats_np, scores_np, pos)))
+    for kf in keep_fracs:
+        kept = _edge_selection(k, scores_np, pos, kf)
+        edges = _edges_from_selection(kept, mats_np)
+        hyps.append((f"sync@{kf}", sorted(kept),
+                     synchronize_poses(k, edges, irls_iters=irls_iters)))
+
+    # dedupe near-identical pose sets (edge-swap trees often coincide)
+    seen, uniq = set(), []
+    for name, tree, poses in hyps:
+        key = np.round(np.stack(poses), 3).tobytes()
+        if key in seen:
+            continue
+        seen.add(key)
+        uniq.append((name, tree, poses))
+
+    # --- verification: one posed re-scoring forward per hypothesis ---
+    wa, wt, ws = verify_weights
+
+    def measure(poses):
+        poses_full = jnp.asarray(
+            np.stack(list(poses) + [eye] * (k0 - k)))
+        mats_r, scores_r, _, _ = _score_posed(
+            model, variables, stack, poses_full, active, idx_i, idx_j)
+        mats_rn = np.asarray(mats_r)
+        scores_rn = np.asarray(scores_r)
+        return mats_rn, scores_rn, _verify(k, mats_rn, scores_rn, pos,
+                                           wa, wt, ws)
+
+    best = None
+    for name, tree, poses in uniq:
+        mats_rn, scores_rn, v = measure(poses)
+        if best is None or v < best[0]:
+            best = (v, name, tree, poses, mats_rn, scores_rn)
+    v, name, tree, poses, mats_rn, scores_rn = best
+
+    if final_sync:
+        # sync_iters update from the winner's (already measured) posed
+        # residuals: pull each kept correction back to piece frames
+        # (x_i = T_i^-1 corr T_j x_j) and re-solve
+        kept = _edge_selection(k, scores_rn, pos, keep_frac=0.6)
+        edges = []
+        for (i, j), (p_sel, inv, s) in kept.items():
+            corr = mats_rn[p_sel]
+            if inv:
+                m = np.linalg.inv(
+                    np.linalg.inv(poses[j]) @ corr @ poses[i])
+            else:
+                m = np.linalg.inv(poses[i]) @ corr @ poses[j]
+            edges.append((i, j, m.astype(np.float32),
+                          1.0 / (float(s) + 1e-3)))
+        poses2 = synchronize_poses(k, edges, irls_iters=irls_iters)
+        _, _, v2 = measure(poses2)
+        if v2 < v:
+            v, name, tree, poses = v2, name + "+sync", sorted(kept), poses2
+
+    poses_full = np.stack(list(poses) + [eye] * (k0 - k))
+    assembled = np.asarray(_union_fps_jit(
+        stack, jnp.asarray(poses_full), active))
+    return AssemblyResult(assembled, list(tree), [], [float(v)],
+                          [np.asarray(t) for t in poses])

@@ -210,8 +210,10 @@ class Session:
 
         ``algo``: ``"spanning"`` (pose-graph over the pair-score minimum
         spanning tree), ``"sync"`` (global pose synchronization over all
-        reliable pair measurements), or ``"greedy"`` (iterative
-        re-merging).
+        reliable pair measurements), ``"ensemble"`` (verified hypothesis
+        ensemble — MST + edge swaps + sync grid, best by posed
+        re-measurement; assembly/ensemble.py), or ``"greedy"``
+        (iterative re-merging).
         ``pad_to``: fixed slot-stack size — one compiled program set
         serves every K <= pad_to across calls (serving-friendly; set to
         None/0 to compile exactly-K programs instead).
@@ -220,11 +222,11 @@ class Session:
         iterations (see assembly.greedy_assemble).
         ``sync_iters`` (sync only): iterative re-measurement rounds on
         the posed stack. ``grow`` (greedy only): accretion mode."""
-        from .assembly import (greedy_assemble, spanning_assemble,
-                               sync_assemble)
+        from .assembly import (ensemble_assemble, greedy_assemble,
+                               spanning_assemble, sync_assemble)
 
         fn = {"greedy": greedy_assemble, "spanning": spanning_assemble,
-              "sync": sync_assemble}[algo]
+              "sync": sync_assemble, "ensemble": ensemble_assemble}[algo]
         kw = {}
         if sync_iters:
             if algo != "sync":

@@ -332,6 +332,67 @@ class TestAssembly:
         assert len(r.merge_order) == len(r.transforms) \
             == len(r.scores) >= len(pieces) - 1
 
+    def test_ensemble_assemble(self, model_and_pieces):
+        """Verified hypothesis ensemble keeps the assembler contract
+        (anchor frame, rigid poses, output ⊂ posed union) and reports
+        its verification cost."""
+        from puzzlenet_tpu.assembly import ensemble_assemble
+        from puzzlenet_tpu.ops import chamfer_distances
+        import jax.numpy as jnp
+
+        model, variables, pieces = model_and_pieces
+        r = ensemble_assemble(model, variables, pieces, num_points=N)
+        assert r.assembled.shape == (N, 3)
+        np.testing.assert_allclose(r.piece_transforms[0], np.eye(4),
+                                   atol=1e-4)
+        for t in r.piece_transforms:
+            R = t[:3, :3]
+            np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-4)
+            assert np.linalg.det(R) > 0.9
+        assert len(r.scores) == 1 and np.isfinite(r.scores[0])
+        posed = np.concatenate([
+            p @ t[:3, :3].T + t[:3, 3]
+            for p, t in zip(pieces, r.piece_transforms)])
+        _, d_asm = chamfer_distances(jnp.asarray(r.assembled)[None],
+                                     jnp.asarray(posed)[None])
+        assert float(jnp.max(d_asm)) < 1e-6
+
+    def test_ensemble_compile_stable(self, model_and_pieces):
+        """Every ensemble hypothesis reuses the shared scorer/posed
+        programs: no new compilations beyond the pad_to-shaped set the
+        other assemblers already own."""
+        from puzzlenet_tpu.assembly import ensemble_assemble, spanning
+        from puzzlenet_tpu.assembly import sync as sync_mod
+
+        model, variables, pieces = model_and_pieces
+        # warm the shared programs at this pad_to shape
+        ensemble_assemble(model, variables, pieces, pad_to=4)
+        base = (spanning._score_all_jit._cache_size()
+                + sync_mod._pose_stack_jit._cache_size()
+                + spanning._union_fps_jit._cache_size())
+        ensemble_assemble(model, variables, pieces + [pieces[0]],
+                          pad_to=4)
+        after = (spanning._score_all_jit._cache_size()
+                 + sync_mod._pose_stack_jit._cache_size()
+                 + spanning._union_fps_jit._cache_size())
+        assert after == base
+
+    def test_ensemble_rejects_edge_polish_knobs(self, model_and_pieces):
+        from puzzlenet_tpu.assembly import ensemble_assemble
+
+        model, variables, pieces = model_and_pieces
+        with pytest.raises(ValueError):
+            ensemble_assemble(model, variables, pieces, refine_iters=1)
+        with pytest.raises(ValueError):
+            ensemble_assemble(model, variables, pieces, icp_iters=1)
+
+    def test_ensemble_single_piece(self, model_and_pieces):
+        from puzzlenet_tpu.assembly import ensemble_assemble
+
+        model, variables, pieces = model_and_pieces
+        r = ensemble_assemble(model, variables, pieces[:1], num_points=N)
+        np.testing.assert_allclose(r.assembled, pieces[0], atol=1e-6)
+
     def test_icp_align_recovers_rigid_transform(self):
         """icp_align recovers a moderate known rigid motion between two
         noisy samplings of the same surface patch."""

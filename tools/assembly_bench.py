@@ -106,10 +106,12 @@ def main(argv=None):
                    help="pose-refinement forwards per merge")
     p.add_argument("--icp_iters", type=int, default=0,
                    help="boundary-ICP iterations per merge")
-    p.add_argument("--algo", choices=("greedy", "spanning", "sync"),
+    p.add_argument("--algo", choices=("greedy", "spanning", "sync",
+                                      "ensemble"),
                    default="greedy",
                    help="greedy re-merging / MST pose graph / global "
-                        "pose synchronization")
+                        "pose synchronization / verified hypothesis "
+                        "ensemble")
     p.add_argument("--sync_iters", type=int, default=0,
                    help="sync only: iterative re-measurement rounds on "
                         "the posed stack (assembly/sync.py)")
@@ -122,8 +124,8 @@ def main(argv=None):
                         "IRLS to downweight outliers)")
     args = p.parse_args(argv)
 
-    from puzzlenet_tpu.assembly import (greedy_assemble, spanning_assemble,
-                                        sync_assemble)
+    from puzzlenet_tpu.assembly import (ensemble_assemble, greedy_assemble,
+                                        spanning_assemble, sync_assemble)
     from puzzlenet_tpu.data.augment import fps_np
     from puzzlenet_tpu.data.registry import _NAMES
     from puzzlenet_tpu.ops import chamfer_loss
@@ -133,7 +135,8 @@ def main(argv=None):
     print(f"model: {args.run_dir} (dataset={cfg.dataset}, family={family}, "
           f"algo={args.algo})")
     assemble = {"greedy": greedy_assemble, "spanning": spanning_assemble,
-                "sync": sync_assemble}[args.algo]
+                "sync": sync_assemble,
+                "ensemble": ensemble_assemble}[args.algo]
     if args.sync_iters:
         if args.algo != "sync":
             p.error("--sync_iters requires --algo sync")
