@@ -142,7 +142,7 @@ def ensemble_assemble(model, variables, pieces, num_points=None,
                       pad_to=None, keep_fracs=(0.35, 0.6, 0.85),
                       irls_iters=2, final_sync=True,
                       verify_weights=(1.0, 1.0, 10.0),
-                      refine_iters=0, icp_iters=0):
+                      refine_iters=0, icp_iters=0, polish_iters=0):
     """Assemble K fragments by verified hypothesis ensembling (module
     docstring). Same contract as the other assemblers: fragments
     [K, N, 3] (or list of [N, 3]) sharing N; result expressed in the
@@ -153,7 +153,10 @@ def ensemble_assemble(model, variables, pieces, num_points=None,
     (sync.synchronize_poses). ``final_sync``: re-synchronize from the
     winner's posed re-measurements, kept only if it verifies better.
     ``verify_weights``: (rotation rad, translation, fit score) weights
-    of the verification metric.
+    of the verification metric. ``polish_iters``: joint boundary-contact
+    pose polish of the winner (assembly/polish.py), verified by posed
+    re-measurement and kept only if strictly better — polish can never
+    degrade the ensemble's output.
 
     Returns ``AssemblyResult`` with ``merge_order`` = the winning
     hypothesis's edge set (empty for sync hypotheses), ``scores`` =
@@ -210,19 +213,21 @@ def ensemble_assemble(model, variables, pieces, num_points=None,
     def measure(poses):
         poses_full = jnp.asarray(
             np.stack(list(poses) + [eye] * (k0 - k)))
-        mats_r, scores_r, _, _ = _score_posed(
+        mats_r, scores_r, tf_r, tm_r = _score_posed(
             model, variables, stack, poses_full, active, idx_i, idx_j)
         mats_rn = np.asarray(mats_r)
         scores_rn = np.asarray(scores_r)
-        return mats_rn, scores_rn, _verify(k, mats_rn, scores_rn, pos,
-                                           wa, wt, ws)
+        # tops stay on device: only the polish path ever reads them
+        return (mats_rn, scores_rn,
+                _verify(k, mats_rn, scores_rn, pos, wa, wt, ws),
+                (tf_r, tm_r))
 
     best = None
     for name, tree, poses in uniq:
-        mats_rn, scores_rn, v = measure(poses)
+        mats_rn, scores_rn, v, tops = measure(poses)
         if best is None or v < best[0]:
-            best = (v, name, tree, poses, mats_rn, scores_rn)
-    v, name, tree, poses, mats_rn, scores_rn = best
+            best = (v, name, tree, poses, mats_rn, scores_rn, tops)
+    v, name, tree, poses, mats_rn, scores_rn, tops = best
 
     if final_sync:
         # sync_iters update from the winner's (already measured) posed
@@ -240,9 +245,24 @@ def ensemble_assemble(model, variables, pieces, num_points=None,
             edges.append((i, j, m.astype(np.float32),
                           1.0 / (float(s) + 1e-3)))
         poses2 = synchronize_poses(k, edges, irls_iters=irls_iters)
-        _, _, v2 = measure(poses2)
+        m2, s2, v2, t2 = measure(poses2)
         if v2 < v:
             v, name, tree, poses = v2, name + "+sync", sorted(kept), poses2
+            mats_rn, scores_rn, tops = m2, s2, t2
+
+    if polish_iters:
+        # joint boundary-contact polish of the winner (assembly/polish.py)
+        # from its own posed re-measurement, kept only if it verifies
+        # strictly better
+        from .polish import polish_poses
+
+        kept_p = _edge_selection(k, scores_rn, pos, keep_frac=0.6)
+        poses3 = polish_poses(np.asarray(stack), list(poses), kept_p,
+                              np.asarray(tops[0]), np.asarray(tops[1]),
+                              iters=polish_iters)
+        _, _, v3, _ = measure(poses3)
+        if v3 < v:
+            v, name, poses = v3, name + "+polish", poses3
 
     poses_full = np.stack(list(poses) + [eye] * (k0 - k))
     assembled = np.asarray(_union_fps_jit(

@@ -182,7 +182,7 @@ def _edge_selection(k, scores_np, pos, keep_frac=0.6):
 
 def sync_assemble(model, variables, pieces, num_points=None, pad_to=None,
                   refine_iters=0, icp_iters=0, keep_frac=0.6,
-                  sync_iters=0, irls_iters=2):
+                  sync_iters=0, irls_iters=2, polish_iters=0):
     """Assemble K fragments by global pose synchronization over the
     score-weighted pairwise measurement graph (module docstring). Same
     contract as the other assemblers: result in the FIRST piece's frame.
@@ -203,7 +203,12 @@ def sync_assemble(model, variables, pieces, num_points=None, pad_to=None,
     to near-identity corrections with near-zero boundary-chamfer scores,
     so their weights grow and wrong edges fall out of the kept set.
     Works best with a checkpoint trained with --random (random twist
-    amplitude: near-identity pairs are then in-distribution)."""
+    amplitude: near-identity pairs are then in-distribution).
+
+    ``polish_iters``: joint pose polish — Adam steps of one se(3)
+    correction per piece on the kept edges' predicted-boundary contact
+    chamfer (assembly/polish.py; the graph pins the per-pair rim-sliding
+    ambiguity that makes ``icp_iters`` unsafe)."""
     from .greedy import _icp_refine_jit, _prepare_slots, _refine_jit
     from .spanning import _score_all_jit, _union_fps_jit
 
@@ -239,10 +244,11 @@ def sync_assemble(model, variables, pieces, num_points=None, pad_to=None,
 
     poses = synchronize_poses(k, edges, irls_iters=irls_iters)
 
+    last_top_f, last_top_m = top_f, top_m
     for _ in range(sync_iters):
         poses_full = jnp.asarray(np.stack(
             poses + [np.eye(4, dtype=np.float32)] * (k0 - k)))
-        mats_r, scores_r, _, _ = _score_posed(
+        mats_r, scores_r, last_top_f, last_top_m = _score_posed(
             model, variables, stack, poses_full, active, idx_i, idx_j)
         # one bulk transfer: per-edge device slices would each pay a
         # tunnel round trip
@@ -267,6 +273,13 @@ def sync_assemble(model, variables, pieces, num_points=None, pad_to=None,
             edge_mats.append(m)
             edge_scores.append(float(s))
         poses = synchronize_poses(k, edges, irls_iters=irls_iters)
+
+    if polish_iters:
+        from .polish import polish_poses
+
+        poses = polish_poses(np.asarray(stack), poses, kept,
+                             np.asarray(last_top_f),
+                             np.asarray(last_top_m), iters=polish_iters)
 
     poses_full = np.stack(
         poses + [np.eye(4, dtype=np.float32)] * (k0 - k))

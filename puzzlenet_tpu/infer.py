@@ -205,7 +205,8 @@ class Session:
         }
 
     def assemble(self, pieces, pad_to=8, refine_iters=0, icp_iters=0,
-                 algo="spanning", sync_iters=0, grow=False):
+                 algo="spanning", sync_iters=0, grow=False,
+                 polish_iters=0):
         """Multi-piece reassembly with this session's weights.
 
         ``algo``: ``"spanning"`` (pose-graph over the pair-score minimum
@@ -221,7 +222,9 @@ class Session:
         extra network forwards on the aligned pair / boundary-ICP
         iterations (see assembly.greedy_assemble).
         ``sync_iters`` (sync only): iterative re-measurement rounds on
-        the posed stack. ``grow`` (greedy only): accretion mode."""
+        the posed stack. ``grow`` (greedy only): accretion mode.
+        ``polish_iters`` (sync/ensemble): joint boundary-contact pose
+        polish over the kept measurement graph (assembly/polish.py)."""
         from .assembly import (ensemble_assemble, greedy_assemble,
                                spanning_assemble, sync_assemble)
 
@@ -236,6 +239,11 @@ class Session:
             if algo != "greedy":
                 raise ValueError("grow requires algo='greedy'")
             kw["grow"] = True
+        if polish_iters:
+            if algo not in ("sync", "ensemble"):
+                raise ValueError(
+                    "polish_iters requires algo='sync' or 'ensemble'")
+            kw["polish_iters"] = polish_iters
         return fn(self.model, self.variables, pieces,
                   num_points=self.num_points, pad_to=pad_to or None,
                   refine_iters=refine_iters, icp_iters=icp_iters, **kw)

@@ -393,6 +393,88 @@ class TestAssembly:
         r = ensemble_assemble(model, variables, pieces[:1], num_points=N)
         np.testing.assert_allclose(r.assembled, pieces[0], atol=1e-6)
 
+    def test_polish_recovers_perturbation(self):
+        """Joint boundary-contact polish pulls small per-piece pose
+        perturbations back to ground truth (anchor fixed), using exact
+        shared contact sets — the geometry-only contract of
+        assembly/polish.py."""
+        from puzzlenet_tpu.assembly import polish_poses
+        from puzzlenet_tpu.semath import se3
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        k, n, m = 3, 64, 16
+        # shared contact curves: B01 rows 0..15 of pieces 0 and 1,
+        # B02 rows 16..31 of pieces 0 and 2, B12 rows 32..47 of 1 and 2
+        stack = rng.standard_normal((k, n, 3)).astype(np.float32)
+        curves = {(0, 1): rng.standard_normal((m, 3)).astype(np.float32),
+                  (0, 2): rng.standard_normal((m, 3)).astype(np.float32),
+                  (1, 2): rng.standard_normal((m, 3)).astype(np.float32)}
+        rows = {(0, 1): (slice(0, 16), slice(0, 16)),
+                (0, 2): (slice(16, 32), slice(16, 32)),
+                (1, 2): (slice(32, 48), slice(32, 48))}
+        for (i, j), c in curves.items():
+            ri, rj = rows[(i, j)]
+            stack[i][ri] = c
+            stack[j][rj] = c
+        pairs = [(i, j) for i in range(k) for j in range(k) if i != j]
+        pos = {ij: p for p, ij in enumerate(pairs)}
+        top_f = np.zeros((len(pairs), m), np.int64)
+        top_m = np.zeros((len(pairs), m), np.int64)
+        kept = {}
+        for (i, j), c in curves.items():
+            p = pos[(i, j)]
+            ri, rj = rows[(i, j)]
+            top_f[p] = np.arange(n)[ri]
+            top_m[p] = np.arange(n)[rj]
+            kept[(i, j)] = (p, False, 0.01)
+        # GT poses = identity; perturb pieces 1 and 2 by small twists
+        tw = np.zeros((k, 6), np.float32)
+        tw[1] = 0.08 * rng.standard_normal(6)
+        tw[2] = 0.08 * rng.standard_normal(6)
+        poses = [np.asarray(p) for p in se3.exp(jnp.asarray(tw))]
+        err0 = max(np.abs(p - np.eye(4)).max() for p in poses[1:])
+        refined = polish_poses(stack, poses, kept, top_f, top_m,
+                               iters=300, m=m)
+        np.testing.assert_array_equal(refined[0], poses[0])  # anchor
+        err1 = max(np.abs(p - np.eye(4)).max() for p in refined[1:])
+        assert err1 < 0.2 * err0, (err0, err1)
+
+    def test_polish_empty_graph_is_identity(self):
+        """No kept edges (all pad weights zero) -> poses unchanged."""
+        from puzzlenet_tpu.assembly import polish_poses
+
+        rng = np.random.default_rng(4)
+        stack = rng.standard_normal((3, 64, 3)).astype(np.float32)
+        poses = [np.eye(4, dtype=np.float32) for _ in range(3)]
+        poses[1][ :3, 3] = [0.3, 0.0, 0.0]
+        refined = polish_poses(stack, poses, {}, np.zeros((6, 16), int),
+                               np.zeros((6, 16), int), iters=10, m=16)
+        for a, b in zip(refined, poses):
+            np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_sync_polish_smoke(self, model_and_pieces):
+        from puzzlenet_tpu.assembly import sync_assemble
+
+        model, variables, pieces = model_and_pieces
+        r = sync_assemble(model, variables, pieces, num_points=N,
+                          polish_iters=5)
+        assert r.assembled.shape == (N, 3)
+        np.testing.assert_allclose(r.piece_transforms[0], np.eye(4),
+                                   atol=1e-4)
+        for t in r.piece_transforms:
+            R = t[:3, :3]
+            np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-4)
+
+    def test_ensemble_polish_smoke(self, model_and_pieces):
+        from puzzlenet_tpu.assembly import ensemble_assemble
+
+        model, variables, pieces = model_and_pieces
+        r = ensemble_assemble(model, variables, pieces, num_points=N,
+                              polish_iters=5)
+        assert r.assembled.shape == (N, 3)
+        assert np.isfinite(r.scores[0])
+
     def test_icp_align_recovers_rigid_transform(self):
         """icp_align recovers a moderate known rigid motion between two
         noisy samplings of the same surface patch."""

@@ -122,6 +122,9 @@ def main(argv=None):
                    help="sync only: fraction of undirected pairs fed to "
                         "the solver (default 0.6; 1.0 = all, relying on "
                         "IRLS to downweight outliers)")
+    p.add_argument("--polish_iters", type=int, default=0,
+                   help="sync/ensemble: joint boundary-contact pose "
+                        "polish steps (assembly/polish.py)")
     args = p.parse_args(argv)
 
     from puzzlenet_tpu.assembly import (ensemble_assemble, greedy_assemble,
@@ -149,6 +152,11 @@ def main(argv=None):
         if args.algo != "sync":
             p.error("--keep_frac requires --algo sync")
         assemble = functools.partial(assemble, keep_frac=args.keep_frac)
+    if args.polish_iters:
+        if args.algo not in ("sync", "ensemble"):
+            p.error("--polish_iters requires --algo sync or ensemble")
+        assemble = functools.partial(assemble,
+                                     polish_iters=args.polish_iters)
 
     # warmup: compile the padded-8 program pair once (K=k_max slots)
     cloud, scattered, _ = one_problem(family, 0, args.k_min,
