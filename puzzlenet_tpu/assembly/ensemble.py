@@ -142,7 +142,8 @@ def ensemble_assemble(model, variables, pieces, num_points=None,
                       pad_to=None, keep_fracs=(0.35, 0.6, 0.85),
                       irls_iters=2, final_sync=True,
                       verify_weights=(1.0, 1.0, 10.0),
-                      refine_iters=0, icp_iters=0, polish_iters=0):
+                      refine_iters=0, icp_iters=0, polish_iters=0,
+                      include_greedy=False):
     """Assemble K fragments by verified hypothesis ensembling (module
     docstring). Same contract as the other assemblers: fragments
     [K, N, 3] (or list of [N, 3]) sharing N; result expressed in the
@@ -156,7 +157,10 @@ def ensemble_assemble(model, variables, pieces, num_points=None,
     of the verification metric. ``polish_iters``: joint boundary-contact
     pose polish of the winner (assembly/polish.py), verified by posed
     re-measurement and kept only if strictly better — polish can never
-    degrade the ensemble's output.
+    degrade the ensemble's output. ``include_greedy``: also verify the
+    accretion-greedy assembler's poses as a hypothesis (costs K-1 extra
+    merge rounds through greedy's own compile-stable programs; the
+    verified union can only beat either algorithm alone).
 
     Returns ``AssemblyResult`` with ``merge_order`` = the winning
     hypothesis's edge set (empty for sync hypotheses), ``scores`` =
@@ -197,6 +201,14 @@ def ensemble_assemble(model, variables, pieces, num_points=None,
         edges = _edges_from_selection(kept, mats_np)
         hyps.append((f"sync@{kf}", sorted(kept),
                      synchronize_poses(k, edges, irls_iters=irls_iters)))
+    if include_greedy and k > 2:
+        from .greedy import greedy_assemble
+
+        rg = greedy_assemble(model, variables, pieces,
+                             num_points=num_points, pad_to=k0, grow=True)
+        hyps.append(("greedy", rg.merge_order,
+                     [np.asarray(t, np.float32)
+                      for t in rg.piece_transforms]))
 
     # dedupe near-identical pose sets (edge-swap trees often coincide)
     seen, uniq = set(), []

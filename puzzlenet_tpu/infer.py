@@ -206,7 +206,7 @@ class Session:
 
     def assemble(self, pieces, pad_to=8, refine_iters=0, icp_iters=0,
                  algo="spanning", sync_iters=0, grow=False,
-                 polish_iters=0):
+                 polish_iters=0, include_greedy=False):
         """Multi-piece reassembly with this session's weights.
 
         ``algo``: ``"spanning"`` (pose-graph over the pair-score minimum
@@ -244,6 +244,10 @@ class Session:
                 raise ValueError(
                     "polish_iters requires algo='sync' or 'ensemble'")
             kw["polish_iters"] = polish_iters
+        if include_greedy:
+            if algo != "ensemble":
+                raise ValueError("include_greedy requires algo='ensemble'")
+            kw["include_greedy"] = True
         return fn(self.model, self.variables, pieces,
                   num_points=self.num_points, pad_to=pad_to or None,
                   refine_iters=refine_iters, icp_iters=icp_iters, **kw)

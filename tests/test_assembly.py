@@ -475,6 +475,16 @@ class TestAssembly:
         assert r.assembled.shape == (N, 3)
         assert np.isfinite(r.scores[0])
 
+    def test_ensemble_include_greedy_smoke(self, model_and_pieces):
+        from puzzlenet_tpu.assembly import ensemble_assemble
+
+        model, variables, pieces = model_and_pieces
+        r = ensemble_assemble(model, variables, pieces, num_points=N,
+                              include_greedy=True)
+        assert r.assembled.shape == (N, 3)
+        np.testing.assert_allclose(r.piece_transforms[0], np.eye(4),
+                                   atol=1e-4)
+
     def test_icp_align_recovers_rigid_transform(self):
         """icp_align recovers a moderate known rigid motion between two
         noisy samplings of the same surface patch."""

@@ -125,6 +125,9 @@ def main(argv=None):
     p.add_argument("--polish_iters", type=int, default=0,
                    help="sync/ensemble: joint boundary-contact pose "
                         "polish steps (assembly/polish.py)")
+    p.add_argument("--ensemble_greedy", action="store_true",
+                   help="ensemble only: also verify the accretion-greedy "
+                        "poses as a hypothesis")
     args = p.parse_args(argv)
 
     from puzzlenet_tpu.assembly import (ensemble_assemble, greedy_assemble,
@@ -157,6 +160,10 @@ def main(argv=None):
             p.error("--polish_iters requires --algo sync or ensemble")
         assemble = functools.partial(assemble,
                                      polish_iters=args.polish_iters)
+    if args.ensemble_greedy:
+        if args.algo != "ensemble":
+            p.error("--ensemble_greedy requires --algo ensemble")
+        assemble = functools.partial(assemble, include_greedy=True)
 
     # warmup: compile the padded-8 program pair once (K=k_max slots)
     cloud, scattered, _ = one_problem(family, 0, args.k_min,
