@@ -95,6 +95,17 @@ class Config:
                                              # pair cut — trains at K-piece
                                              # assembly fragment sizes
                                              # (data/device_pipeline.py)
+    global_pose: float = 0.0                 # > 0: rigidly move the whole
+                                             # training pair (both pieces +
+                                             # boundaries) by a shared
+                                             # U[0,1)-scaled twist of this
+                                             # magnitude before the igt
+                                             # twist — trains away the
+                                             # canonical-fpc anchor so
+                                             # assembly-time scattered
+                                             # fixed pieces are
+                                             # in-distribution
+                                             # (data/device_pipeline.py)
     log_every: int = 50                      # scalar-log cadence (steps)
     save_every: int = 1000                   # device-data ckpt cadence
     viz_every: int = 500                     # TB mesh/attention cadence

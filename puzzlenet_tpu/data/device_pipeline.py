@@ -218,10 +218,11 @@ def _twice_masks(ks, cloud, cut, npoint):
 
 @functools.partial(jax.jit, static_argnames=("npoint", "boundary_k", "mag",
                                              "cut", "split_twice",
-                                             "frag_cuts", "mag_randomly"))
+                                             "frag_cuts", "mag_randomly",
+                                             "global_mag"))
 def make_batch(key, clouds, npoint=NPOINT, boundary_k=128, mag=0.8,
                cut="plane", split_twice=False, frag_cuts=0,
-               mag_randomly=False):
+               mag_randomly=False, global_mag=0.0):
     """clouds [B, M, 3] on device -> Batch (the 8-tuple contract).
 
     ``cut`` selects the slicing primitive (matching the category registry's
@@ -234,6 +235,15 @@ def make_batch(key, clouds, npoint=NPOINT, boundary_k=128, mag=0.8,
     se_math/transforms.py:163-165) — small/near-identity motions enter the
     training distribution, which is what makes assembly-time pose
     refinement (re-running the net on an almost-aligned pair) valid.
+    ``global_mag`` > 0 additionally rigidly moves the WHOLE pair (both
+    pieces + boundary points, one shared U[0,1)-amplitude-scaled twist per
+    sample) before the per-pair igt twist: the fixed piece's orientation
+    becomes a trained-over nuisance instead of an anchor. Multi-piece
+    assembly (assembly/) scores pairs whose fixed piece sits in an
+    arbitrary scattered pose — without this flag that is off-distribution
+    (training otherwise always shows fpc in the canonical cloud frame).
+    Beyond-reference knob; the igt contract (mrpc = igt . rpc) and the
+    eval metrics are unchanged.
     """
     B = clouds.shape[0]
     keys = jax.random.split(key, B * 8).reshape(B, 8, 2)
@@ -273,6 +283,23 @@ def make_batch(key, clouds, npoint=NPOINT, boundary_k=128, mag=0.8,
         up = jnp.where(reject, s_up, up)
         down = jnp.where(reject, s_down, down)
     fpcb, rpcb, fpc_idx, rpc_idx = get_boundary(down, up, boundary_k)
+
+    if global_mag:
+        # one rigid pose per SAMPLE, shared by both pieces and their
+        # boundary points (computed above on canonical geometry — boundary
+        # membership is rigid-invariant). Key slot 6 was previously
+        # unused, so every other RNG stream is unchanged.
+        def per_gpose(k):
+            k_dir, k_amp = jax.random.split(k)
+            x = jax.random.normal(k_dir, (6,), clouds.dtype)
+            amp = global_mag * jax.random.uniform(k_amp, (), clouds.dtype)
+            return x / jnp.linalg.norm(x) * amp
+
+        gpose = se3.exp(jax.vmap(per_gpose)(keys[:, 6]))
+        down = se3.transform_points(gpose, down)
+        up = se3.transform_points(gpose, up)
+        fpcb = se3.transform_points(gpose, fpcb)
+        rpcb = se3.transform_points(gpose, rpcb)
 
     # random mag twist on the up piece (MovedCADDataset2 semantics).
     # The fixed-mag path keeps using the UNSPLIT key so the twist RNG

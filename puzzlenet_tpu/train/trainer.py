@@ -265,6 +265,10 @@ class Trainer:
     def fit(self, train_ds, val_ds=None):
         cfg = self.cfg
         self._start_run()
+        if cfg.global_pose:
+            print("WARNING: --global_pose only applies to the device-data "
+                  "path (fit_device_data); ignored by the host Loader",
+                  flush=True)
 
         loader = Loader(train_ds, cfg.batch_size, shuffle=True,
                         drop_last=True, num_workers=cfg.num_workers,
@@ -400,7 +404,8 @@ class Trainer:
             batch = make_batch(k_batch, clouds[sel], npoint=cfg.num_points,
                                cut=cut, split_twice=split_twice,
                                frag_cuts=cfg.frag_cuts,
-                               mag_randomly=cfg.random)
+                               mag_randomly=cfg.random,
+                               global_mag=cfg.global_pose)
             return train_step(self.model, self.tx, self.flags, pretrain,
                               state, batch)
 
@@ -429,7 +434,8 @@ class Trainer:
                                  npoint=cfg.num_points, cut=cut,
                                  split_twice=split_twice,
                                  frag_cuts=cfg.frag_cuts,
-                                 mag_randomly=cfg.random))(key))
+                                 mag_randomly=cfg.random,
+                                 global_mag=cfg.global_pose))(key))
         state = self.init_state(first)
         if cfg.resume:
             state = self.restore_checkpoint(state, cfg.resume)
@@ -437,12 +443,14 @@ class Trainer:
         viz_batch_fn = jax.jit(functools.partial(
             make_batch, npoint=cfg.num_points, cut=cut,
             split_twice=split_twice, frag_cuts=cfg.frag_cuts,
-            mag_randomly=cfg.random))
+            mag_randomly=cfg.random, global_mag=cfg.global_pose))
         # periodic validation (the host fit()'s check_val_every_n_epoch
         # cadence, model5_b.py:1172-1277 metrics): one FIXED batch drawn
         # from a held-out key — procedurally fresh cuts/twists the
-        # training stream never sees. Val stays on the single-cut pair
-        # distribution (frag_cuts is a training-distribution knob).
+        # training stream never sees. Val stays on the single-cut,
+        # canonical-fpc pair distribution (frag_cuts and global_pose are
+        # training-distribution knobs) so val metrics remain comparable
+        # across runs.
         val_every = max(1, cfg.check_val_every_n_epoch * steps_per_epoch)
         val_batch_fn = jax.jit(functools.partial(
             make_batch, npoint=cfg.num_points, cut=cut,

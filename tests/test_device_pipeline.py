@@ -148,6 +148,53 @@ class TestMagRandomly:
         assert amps.std() > 0.1          # spread, not a constant
 
 
+class TestGlobalPose:
+    def test_rigid_comovement_and_contract(self, clouds):
+        """--global_pose: the posed batch is the canonical batch rigidly
+        moved by one per-sample transform G (shared by fpc, rpc and both
+        boundary sets), the igt contract still maps rpc -> mrpc, and
+        every other RNG stream is untouched (the twist igt is identical
+        with and without the flag)."""
+        from puzzlenet_tpu.semath import se3
+
+        cl = jnp.asarray(clouds)
+        base = make_batch(jax.random.PRNGKey(5), cl, npoint=NPOINT,
+                          boundary_k=K, cut="plane")
+        posed = make_batch(jax.random.PRNGKey(5), cl, npoint=NPOINT,
+                           boundary_k=K, cut="plane", global_mag=0.8)
+        # twist stream unchanged (slot-6 key is new, slot-7 untouched)
+        np.testing.assert_array_equal(np.asarray(base.igt),
+                                      np.asarray(posed.igt))
+        for i in range(4):
+            # recover G from fpc by Procrustes (both are the same point
+            # set in the same order, rigidly moved)
+            a = np.asarray(base.fpc[i])
+            b = np.asarray(posed.fpc[i])
+            ca, cb = a - a.mean(0), b - b.mean(0)
+            u, _, vt = np.linalg.svd(ca.T @ cb)
+            d = np.sign(np.linalg.det(vt.T @ u.T))
+            R = (vt.T @ np.diag([1, 1, d]) @ u.T).astype(np.float64)
+            t = b.mean(0) - a.mean(0) @ R.T
+            assert np.linalg.det(R) > 0.9
+            np.testing.assert_allclose(a @ R.T + t, b, atol=1e-4)
+            # the SAME G moves rpc and both boundary sets
+            for pa, pb in ((base.rpc[i], posed.rpc[i]),
+                           (base.fpcb[i], posed.fpcb[i]),
+                           (base.rpcb[i], posed.rpcb[i])):
+                np.testing.assert_allclose(
+                    np.asarray(pa) @ R.T + t, np.asarray(pb), atol=1e-4)
+            # some sample must actually move (amplitudes are U[0,1)*mag)
+        moved = np.abs(np.asarray(posed.fpc) - np.asarray(base.fpc)).max()
+        assert moved > 1e-3
+        # igt contract on the posed pair: mrpc = igt . rpc
+        np.testing.assert_allclose(
+            np.asarray(se3.transform_points(posed.igt, posed.rpc)),
+            np.asarray(posed.mrpc), atol=1e-5)
+        # boundary masks are pose-invariant
+        np.testing.assert_array_equal(np.asarray(base.fpc_idx),
+                                      np.asarray(posed.fpc_idx))
+
+
 class TestSplitTwice:
     def test_contract(self, clouds):
         batch = make_batch(jax.random.PRNGKey(11), jnp.asarray(clouds),
