@@ -17,7 +17,16 @@ def chamfer_distances(a, b, precision="highest"):
     a [B, N, 3], b [B, M, 3] -> (d_b [B, M], d_a [B, N]):
       d_b[j] = min_i |a_i - b_j|^2   (reference's torch.min(P, 1)[0])
       d_a[i] = min_j |a_i - b_j|^2   (reference's torch.min(P, 2)[0])
+
+    Large point sets on TPU route through the fused Pallas kernel
+    (ops/chamfer_pallas.py) — elementwise-exact distances, no [B, N, M]
+    tensor in HBM, analytic index-routed backward. Small sets (the
+    128-point boundary chamfers) and other backends keep the reference's
+    matmul expansion.
     """
+    from . import chamfer_pallas
+    if chamfer_pallas.pallas_supported(a.shape[1], b.shape[1]):
+        return chamfer_pallas.chamfer_distances_fused(a, b)
     P = square_distance(a, b, precision=precision)  # [B, N, M]
     return jnp.min(P, axis=1), jnp.min(P, axis=2)
 

@@ -1,0 +1,241 @@
+"""Fused chamfer distance (Pallas TPU): directional minima without the
+[B, N, M] distance tensor.
+
+The XLA formulation (ops/chamfer.py — the reference's matmul expansion,
+model5_b.py:1495-1505) materializes the full [B, N, M] f32 distance tensor
+in HBM (268 MB at B=64, N=M=1024), reads it back for each directional min,
+and again (or recomputes it) for the backward of ``jnp.min`` — the loss
+chamfer is HBM-bound, not MXU-bound. This kernel streams [n_blk, M]
+distance tiles through VMEM instead:
+
+  * distances computed elementwise in f32 (exact — no |a|^2+|b|^2-2ab
+    cancellation, strictly better than the GEMM form near zero);
+  * per-a-row minima (d_a) and argmin lanes come from ONE packed lane
+    min-reduce per tile (lane identity in the low mantissa bits,
+    ops/lanered.py contract, +1<<23 denormal-flush shift);
+  * per-b-column minima (d_b) accumulate elementwise across a-row tiles;
+    the winning a-row index rides a packed copy of the tile the same way
+    (row identity in the mantissa), so the cross-tile accumulation needs
+    no arg-reduction either. d_b VALUES are carried exactly (unpacked) in
+    a separate accumulator — packing only ever routes gradients.
+
+Backward is a mirror kernel routed by the saved argmin indices (the
+minima are a.e. differentiable selections, exactly like the fused SG
+kernel's max-over-neighbors): each direction's cotangent flows through
+2 (x - y) at its winner, with the scatter onto the other cloud as a
+one-hot^T HIGHEST-precision MXU matmul — still no [B, N, M] in HBM.
+
+Tie caveat (shared with ops/lanered.py): packing clears the low
+log2(N)+... mantissa bits for routing, so among near-equidistant winners
+(<= ~2^10 ulps apart) a different — equally minimal up to that band —
+point can receive the gradient. Selection-only; the forward values are
+exact.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_N_BLK = 256
+_INTERPRET = False
+_SENTINEL = 3.4028235e38
+
+
+def pallas_supported(n, m):
+    backend_ok = _INTERPRET or jax.default_backend() == "tpu"
+    shapes_ok = (n % 8 == 0 and m % 128 == 0
+                 and n * m >= 512 * 512)   # small sets: XLA is already fine
+    return backend_ok and shapes_ok
+
+
+def _pack_lane(d, n_lanes):
+    lb = (n_lanes - 1).bit_length()
+    clear = ~jnp.int32((1 << lb) - 1)
+    lanes = lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    u = lax.bitcast_convert_type(d, jnp.int32)
+    return lax.bitcast_convert_type(((u & clear) | lanes)
+                                    + jnp.int32(1 << 23), jnp.float32)
+
+
+def _pack_row(d, row0, n_rows_total):
+    """Pack each element's GLOBAL row id (row0 + local row) into the low
+    mantissa bits — for the cross-tile d_b argmin accumulation."""
+    rb = (n_rows_total - 1).bit_length()
+    clear = ~jnp.int32((1 << rb) - 1)
+    rows = row0 + lax.broadcasted_iota(jnp.int32, d.shape, 0)
+    u = lax.bitcast_convert_type(d, jnp.int32)
+    return lax.bitcast_convert_type(((u & clear) | rows)
+                                    + jnp.int32(1 << 23), jnp.float32)
+
+
+def _fwd_kernel(n_total, a_ref, b_ref, da_ref, ja_ref, db_ref, pb_ref):
+    j = pl.program_id(1)
+    a = a_ref[0]                                    # [n_blk, 3]
+    b = b_ref[0]                                    # [M, 3]
+    n_blk, m = a.shape[0], b.shape[0]
+
+    dx = a[:, 0:1] - b[:, 0:1].T
+    dy = a[:, 1:2] - b[:, 1:2].T
+    dz = a[:, 2:3] - b[:, 2:3].T
+    d = dx * dx + dy * dy + dz * dz                 # [n_blk, M] f32 exact
+
+    # d_a: exact row minima; argmin lane from ONE packed reduce
+    da_ref[0] = jnp.min(d, axis=1, keepdims=True)
+    pm = jnp.min(_pack_lane(d, m), axis=1, keepdims=True)
+    lb = (m - 1).bit_length()
+    ja_ref[0] = lax.bitcast_convert_type(pm, jnp.int32) & ((1 << lb) - 1)
+
+    # d_b: exact column minima + packed-row argmin, accumulated over tiles
+    @pl.when(j == 0)
+    def _():
+        db_ref[0] = jnp.full(db_ref.shape[1:], _SENTINEL, jnp.float32)
+        pb_ref[0] = jnp.full(pb_ref.shape[1:], _SENTINEL, jnp.float32)
+    db_ref[0] = jnp.minimum(db_ref[0],
+                            jnp.min(d, axis=0, keepdims=True))
+    pb_ref[0] = jnp.minimum(pb_ref[0],
+                            jnp.min(_pack_row(d, j * n_blk, n_total),
+                                    axis=0, keepdims=True))
+
+
+def _bwd_kernel(a_ref, b_ref, ja_ref, ib_ref, ga_ref, gb_ref,
+                da_out_ref, db_out_ref):
+    a = a_ref[0]                                    # [N, 3]
+    b = b_ref[0]                                    # [M, 3]
+    ja = ja_ref[0]                                  # [N, 1] int32
+    ib = ib_ref[0]                                  # [M, 1] int32
+    ga = ga_ref[0]                                  # [N, 1]
+    gb = gb_ref[0]                                  # [M, 1]
+    n, m = a.shape[0], b.shape[0]
+
+    lanes_m = lax.broadcasted_iota(jnp.int32, (n, m), 1)
+    lanes_n = lax.broadcasted_iota(jnp.int32, (m, n), 1)
+    oh_a = (lanes_m == ja).astype(jnp.float32)      # [N, M] a-row winners
+    oh_b = (lanes_n == ib).astype(jnp.float32)      # [M, N] b-col winners
+
+    hi = jax.lax.Precision.HIGHEST
+    # d_a direction: dL += ga_i * 2 (a_i - b_{ja_i}) on a, opposite on b
+    b_at = jnp.dot(oh_a, b, preferred_element_type=jnp.float32,
+                   precision=hi)                    # [N, 3] exact gather
+    diff_a = a - b_at
+    da = 2.0 * ga * diff_a
+    db_scatter = lax.dot_general(oh_a, -2.0 * ga * diff_a,
+                                 dimension_numbers=(((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=hi)      # [M, 3]
+    # d_b direction: dL += gb_j * 2 (b_j - a_{ib_j}) on b, opposite on a
+    a_at = jnp.dot(oh_b, a, preferred_element_type=jnp.float32,
+                   precision=hi)                    # [M, 3]
+    diff_b = b - a_at
+    db = 2.0 * gb * diff_b + db_scatter
+    da_scatter = lax.dot_general(oh_b, -2.0 * gb * diff_b,
+                                 dimension_numbers=(((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=hi)      # [N, 3]
+    da_out_ref[0] = da + da_scatter
+    db_out_ref[0] = db
+
+
+def _fwd_pallas(a, b):
+    B, N, _ = a.shape
+    M = b.shape[1]
+    n_blk = min(_N_BLK, N)
+    assert N % n_blk == 0, (N, n_blk)
+    grid = (B, N // n_blk)
+    da, ja, db, pb = pl.pallas_call(
+        functools.partial(_fwd_kernel, N),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n_blk, 3), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, 3), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n_blk, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_blk, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, M), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, M), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(a, b)
+    rb = (N - 1).bit_length()
+    ib = lax.bitcast_convert_type(pb, jnp.int32) & ((1 << rb) - 1)
+    return da[..., 0], ja[..., 0], db[:, 0, :], ib[:, 0, :]
+
+
+def _bwd_pallas(a, b, ja, ib, ga, gb):
+    B, N, _ = a.shape
+    M = b.shape[1]
+    da, db = pl.pallas_call(
+        _bwd_kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, N, 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, 3), jnp.float32),
+            jax.ShapeDtypeStruct((B, M, 3), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(a, b, ja, ib, ga, gb)
+    return da, db
+
+
+@jax.custom_vjp
+def chamfer_distances_fused(a, b):
+    """a [B, N, 3], b [B, M, 3] -> (d_b [B, M], d_a [B, N]) directional
+    minimum squared distances (the ops/chamfer.py contract: d_b = min over
+    a-rows, d_a = min over b-cols). Fused Pallas kernel; f32-exact values."""
+    da, _, db, _ = _fwd_pallas(a, b)
+    return db, da
+
+
+def _cdf_fwd(a, b):
+    da, ja, db, ib = _fwd_pallas(a, b)
+    return (db, da), (a, b, ja, ib)
+
+
+def _cdf_bwd(res, g):
+    a, b, ja, ib = res
+    gb, ga = g
+    da, db = _bwd_pallas(a, b, ja[..., None], ib[..., None],
+                         ga[..., None], gb[..., None])
+    return da, db
+
+
+chamfer_distances_fused.defvjp(_cdf_fwd, _cdf_bwd)
