@@ -38,9 +38,9 @@ other assemblers; no hypothesis ever compiles anything new.
 import numpy as np
 import jax.numpy as jnp
 
-from ..semath import se3  # noqa: F401  (kept: se3.exp used via greedy)
 from .greedy import AssemblyResult, _prepare_slots
-from .spanning import _mst, _score_all_jit, _union_fps_jit
+from .spanning import (_mst, _score_all_jit, _union_fps_jit,
+                       pair_weight)
 from .sync import _edge_selection, _score_posed, synchronize_poses
 
 
@@ -163,7 +163,8 @@ def ensemble_assemble(model, variables, pieces, num_points=None,
     verified union can only beat either algorithm alone).
 
     Returns ``AssemblyResult`` with ``merge_order`` = the winning
-    hypothesis's edge set (empty for sync hypotheses), ``scores`` =
+    hypothesis's edge set (tree edges for mst/swap/greedy hypotheses,
+    the sorted kept-edge list for sync-family winners), ``scores`` =
     [verification cost], and ``piece_transforms`` the winning poses.
     """
     if refine_iters or icp_iters:
@@ -185,8 +186,7 @@ def ensemble_assemble(model, variables, pieces, num_points=None,
     mats_np = np.asarray(mats)
     scores_np = np.asarray(scores)
 
-    def weight(i, j):
-        return min(scores_np[pos[(i, j)]], scores_np[pos[(j, i)]])
+    weight = pair_weight(scores_np, pos)
 
     # --- hypotheses (host-only, no device work) ---
     hyps = []

@@ -44,6 +44,16 @@ def fragment_cloud(cloud, k, npoint=1024, rng=None, max_tries=64):
             axis = int(np.argmax(cand.max(0) - cand.min(0)))
             med = np.median(cand[:, axis])
             a, b = cand[cand[:, axis] >= med], cand[cand[:, axis] < med]
+            if len(a) == 0 or len(b) == 0:
+                # degenerate coordinates (e.g. duplicated points) can put
+                # everything on one side of the median — split by index
+                # instead so neither side is empty (empty sides crash the
+                # resample padding below)
+                if len(cand) < 2:
+                    a = b = cand        # duplicate rather than crash
+                else:
+                    half = len(cand) // 2
+                    a, b = cand[:half], cand[half:]
         parts += [a, b]
 
     out = []

@@ -56,6 +56,15 @@ def _union_fps_jit(stack, poses, active):
     return pts[sel]
 
 
+def pair_weight(scores_np, pos):
+    """Undirected edge weight = the better-scoring direction. ONE
+    definition shared by spanning/sync/ensemble (a drifted re-definition
+    would silently diverge the assemblers)."""
+    def weight(i, j):
+        return min(scores_np[pos[(i, j)]], scores_np[pos[(j, i)]])
+    return weight
+
+
 def _mst(k, weight):
     """Kruskal over the complete graph on ``k`` nodes; ``weight(i, j)``
     for i < j. Returns the k-1 tree edges [(i, j), ...]."""
@@ -106,12 +115,12 @@ def spanning_assemble(model, variables, pieces, num_points=None,
     mats, scores, top_f, top_m = _score_all_jit(
         model, variables, stack, active, idx_i, idx_j)
     scores_np = np.asarray(scores)
+    # bulk transfer on the default path (per-edge device slices each pay
+    # a tunnel round trip); refinement keeps the device-resident mats
+    mats_np_all = (np.asarray(mats)
+                   if not (refine_iters or icp_iters) else None)
 
-    # undirected edge weight = the better of the two orderings
-    def weight(i, j):
-        return min(scores_np[pos[(i, j)]], scores_np[pos[(j, i)]])
-
-    tree = _mst(k, weight)
+    tree = _mst(k, pair_weight(scores_np, pos))
 
     # BFS-compose from the anchor (piece 0): the anchor frame falls out
     # of the composition with no correction step
@@ -137,13 +146,17 @@ def spanning_assemble(model, variables, pieces, num_points=None,
                 p_sel, i_sl, j_sl, invert = fwd_p, parentn, child, False
             else:
                 p_sel, i_sl, j_sl, invert = rev_p, child, parentn, True
-            mat = mats[p_sel]
-            for _ in range(refine_iters):
-                mat = _refine_jit(model, variables, stack, i_sl, j_sl, mat)
-            if icp_iters:
-                mat = _icp_refine_jit(stack, i_sl, j_sl, top_f[p_sel],
-                                      top_m[p_sel], mat, icp_iters)
-            m = np.asarray(mat)
+            if mats_np_all is not None:
+                m = mats_np_all[p_sel]
+            else:
+                mat = mats[p_sel]
+                for _ in range(refine_iters):
+                    mat = _refine_jit(model, variables, stack, i_sl, j_sl,
+                                      mat)
+                if icp_iters:
+                    mat = _icp_refine_jit(stack, i_sl, j_sl, top_f[p_sel],
+                                          top_m[p_sel], mat, icp_iters)
+                m = np.asarray(mat)
             if invert:
                 m = np.linalg.inv(m).astype(np.float32)
             poses[child] = (poses[parentn] @ m).astype(np.float32)

@@ -103,19 +103,22 @@ def _solve_once(k, edges):
         A[3 * j:3 * j + 3, 3 * i:3 * i + 3] += w * R.T
         deg[i] += w
         deg[j] += w
-    # normalized: the leading three eigenvectors of D^-1 A stack
-    # V_i ~= R_i^T Q (A's blocks are R_ij = R_i^T R_j, so V_j = R_j^T Q
-    # is a fixed point); the gauged absolute rotation is
-    # R_0^T R_i = V_0 V_i^T, which also cancels the global O(3)
-    # ambiguity Q. Q may carry a REFLECTION (eigh returns an arbitrary
-    # orthogonal basis of the degenerate top-3 eigenspace), so the
-    # product V_0 V_i^T must be formed FIRST and projected to SO(3)
-    # once: projecting each factor separately maps the improper blocks
-    # to unrelated nearest-rotations and the reflection no longer
-    # cancels (that bug made the solve garbage whenever det(Q) < 0 —
-    # about half of all solves).
-    d = np.repeat(np.maximum(deg, 1e-12), 3)
-    _, vecs = np.linalg.eigh(A / d[:, None])
+    # SYMMETRICALLY normalized spectral solve, eigh(D^-1/2 A D^-1/2):
+    # its leading three eigenvectors stack V_i ~= d_i^-1/2 R_i^T Q
+    # (A's blocks are R_ij = R_i^T R_j), so the gauged absolute rotation
+    # is recovered from V_0 V_i^T = (d_0 d_i)^-1/2 R_0^T R_i — a POSITIVE
+    # scalar times a rotation, which the per-block SO(3) projection
+    # absorbs exactly. Two hard-won invariants:
+    # * Q (the eigenbasis mixture of the degenerate top-3 eigenspace) may
+    #   carry a REFLECTION — the product V_0 V_i^T must be formed FIRST
+    #   and projected ONCE (Q Q^T = I cancels it); projecting each factor
+    #   separately garbles ~half of all solves (CLAUDE.md invariant).
+    # * the one-sided form A/d is NOT symmetric, and np.linalg.eigh
+    #   silently reads only one triangle of it — that made the solve
+    #   depend on piece LABELING (relabeling changed results by ~0.04
+    #   under heterogeneous weights; pure gauge ops must be free).
+    dis = np.repeat(1.0 / np.sqrt(np.maximum(deg, 1e-12)), 3)
+    _, vecs = np.linalg.eigh(dis[:, None] * A * dis[None, :])
     V = vecs[:, -3:]                                  # [3k, 3]
     V0 = V[0:3]
     rots = [_project_so3(V0 @ V[3 * i:3 * i + 3].T) for i in range(k)]
@@ -155,7 +158,7 @@ def _edge_selection(k, scores_np, pos, keep_frac=0.6):
     """Per undirected pair: the better-scoring direction; keep the
     best ``keep_frac`` of pairs (at least a spanning set — union with
     the MST so the graph stays connected)."""
-    from .spanning import _mst
+    from .spanning import _mst, pair_weight
 
     cands = []
     for i in range(k):
@@ -169,8 +172,7 @@ def _edge_selection(k, scores_np, pos, keep_frac=0.6):
     n_keep = max(k - 1, int(round(keep_frac * len(cands))))
     kept = {(i, j): (p, inv, s) for s, i, j, p, inv in cands[:n_keep]}
     # guarantee connectivity: union with the MST over all pairs
-    tree = _mst(k, lambda a, b: min(scores_np[pos[(a, b)]],
-                                    scores_np[pos[(b, a)]]))
+    tree = _mst(k, pair_weight(scores_np, pos))
     for i, j in tree:
         if (i, j) not in kept:
             s, p, inv = ((scores_np[pos[(i, j)]], pos[(i, j)], False)
@@ -222,17 +224,25 @@ def sync_assemble(model, variables, pieces, num_points=None, pad_to=None,
     scores_np = np.asarray(scores)
 
     kept = _edge_selection(k, scores_np, pos, keep_frac)
+    # one bulk transfer on the default path: per-edge np.asarray(mats[p])
+    # device slices each pay a full tunnel round trip (~17-28 of them at
+    # k=8); only per-edge refinement needs the device-resident mats
+    mats_np_all = (np.asarray(mats)
+                   if not (refine_iters or icp_iters) else None)
     edges, order, edge_mats, edge_scores = [], [], [], []
     for (i, j), (p_sel, inv, s) in sorted(kept.items(),
                                           key=lambda kv: kv[1][2]):
         i_sl, j_sl = (j, i) if inv else (i, j)       # fixed, moved slots
-        mat = mats[p_sel]
-        for _ in range(refine_iters):
-            mat = _refine_jit(model, variables, stack, i_sl, j_sl, mat)
-        if icp_iters:
-            mat = _icp_refine_jit(stack, i_sl, j_sl, top_f[p_sel],
-                                  top_m[p_sel], mat, icp_iters)
-        m = np.asarray(mat)
+        if mats_np_all is not None:
+            m = mats_np_all[p_sel]
+        else:
+            mat = mats[p_sel]
+            for _ in range(refine_iters):
+                mat = _refine_jit(model, variables, stack, i_sl, j_sl, mat)
+            if icp_iters:
+                mat = _icp_refine_jit(stack, i_sl, j_sl, top_f[p_sel],
+                                      top_m[p_sel], mat, icp_iters)
+            m = np.asarray(mat)
         if inv:
             m = np.linalg.inv(m).astype(np.float32)
         # inverse-score weight, relative to the best edge

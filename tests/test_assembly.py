@@ -220,6 +220,45 @@ class TestAssembly:
             np.testing.assert_allclose(p[:3, :3], g[:3, :3], atol=0.03)
             np.testing.assert_allclose(p[:3, 3], g[:3, 3], atol=0.03)
 
+    def test_synchronize_poses_label_gauge_invariance(self):
+        """Relabeling pieces is a pure gauge operation — the solved poses
+        must be identical up to the relabeling. Regression: the one-sided
+        normalization A/d is NOT symmetric and np.linalg.eigh silently
+        reads only one triangle, making results depend on input order
+        under heterogeneous edge weights (fixed: symmetric
+        D^-1/2 A D^-1/2)."""
+        from scipy.spatial.transform import Rotation
+
+        from puzzlenet_tpu.assembly.sync import synchronize_poses
+
+        rng = np.random.default_rng(11)
+        k = 5
+        gt = [np.eye(4)]
+        for _ in range(k - 1):
+            T = np.eye(4)
+            T[:3, :3] = Rotation.random(random_state=rng).as_matrix()
+            T[:3, 3] = rng.normal(scale=0.5, size=3)
+            gt.append(T)
+        edges = []
+        for i in range(k):
+            for j in range(i + 1, k):
+                M = np.linalg.inv(gt[i]) @ gt[j]
+                noise = np.eye(4)
+                noise[:3, :3] = Rotation.from_rotvec(
+                    rng.normal(scale=0.05, size=3)).as_matrix()
+                # strongly heterogeneous weights expose the asymmetry
+                edges.append((i, j, M @ noise, float(rng.uniform(0.1, 9))))
+        poses = synchronize_poses(k, edges)
+
+        # relabel: swap pieces 1 and 3 (keep the anchor at 0)
+        perm = [0, 3, 2, 1, 4]
+        inv_perm = list(np.argsort(perm))
+        edges_p = [(inv_perm[i], inv_perm[j], M, w) for i, j, M, w in edges]
+        poses_p = synchronize_poses(k, edges_p)
+        for i in range(k):
+            np.testing.assert_allclose(poses[i], poses_p[inv_perm[i]],
+                                       atol=1e-5)
+
     def test_sync_assemble(self, model_and_pieces):
         """End-to-end sync assembler: anchor frame, rigid poses, output
         is a subset of the posed union."""
@@ -552,6 +591,19 @@ class TestAssembly:
         assert len(pieces) == 4
         assert all(p.shape == (N, 3) for p in pieces)
         assert all(np.isfinite(p).all() for p in pieces)
+
+    def test_fragment_degenerate_duplicate_cloud(self):
+        """A cloud of (near-)duplicated coordinates defeats every plane
+        cut AND puts all points on one side of the median — the fallback
+        must still return k non-empty [npoint, 3] fragments instead of
+        crashing in the resample padding (regression: rng.integers(0, 0))."""
+        from puzzlenet_tpu.assembly import fragment_cloud
+
+        rng = np.random.default_rng(5)
+        u = np.ones((300, 3), np.float32)       # all points identical
+        pieces = fragment_cloud(u, 3, npoint=64, rng=rng)
+        assert len(pieces) == 3
+        assert all(p.shape == (64, 3) for p in pieces)
 
 
 class TestViz:
