@@ -157,6 +157,11 @@ class Session:
         The rigid ``transform`` applies to the ORIGINAL moved cloud
         unchanged (resampling is a subset/duplication of the same points).
         """
+        if not 0 < boundary_k <= self.num_points:
+            raise ValueError(
+                f"boundary_k={boundary_k} must be in (0, num_points="
+                f"{self.num_points}] — fail fast, not after the forward")
+
         def norm(x):
             try:
                 arr = np.asarray(x, np.float32)

@@ -40,36 +40,36 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .lanered import SENTINEL, pack_ids, unpack_ids
+
 _N_BLK = 256
 _INTERPRET = False
-_SENTINEL = 3.4028235e38
+_SENTINEL = SENTINEL
 
 
 def pallas_supported(n, m):
     backend_ok = _INTERPRET or jax.default_backend() == "tpu"
-    shapes_ok = (n % 8 == 0 and m % 128 == 0
-                 and n * m >= 512 * 512)   # small sets: XLA is already fine
+    # n must tile into [n_blk = min(256, n)] row blocks exactly; m rides
+    # the lane axis whole (multiples of 128 so no padded-lane garbage can
+    # win a minimum); upper bound keeps the backward's [n, m] one-hot
+    # tiles inside the 64 MB VMEM budget
+    blk_ok = n % 256 == 0 or (n <= 256 and n % 8 == 0)
+    shapes_ok = (blk_ok and m % 128 == 0
+                 and n * m >= 512 * 512    # small sets: XLA is already fine
+                 and n <= 2048 and m <= 2048)
     return backend_ok and shapes_ok
 
 
 def _pack_lane(d, n_lanes):
-    lb = (n_lanes - 1).bit_length()
-    clear = ~jnp.int32((1 << lb) - 1)
     lanes = lax.broadcasted_iota(jnp.int32, d.shape, 1)
-    u = lax.bitcast_convert_type(d, jnp.int32)
-    return lax.bitcast_convert_type(((u & clear) | lanes)
-                                    + jnp.int32(1 << 23), jnp.float32)
+    return pack_ids(d, lanes, n_lanes)
 
 
 def _pack_row(d, row0, n_rows_total):
     """Pack each element's GLOBAL row id (row0 + local row) into the low
     mantissa bits — for the cross-tile d_b argmin accumulation."""
-    rb = (n_rows_total - 1).bit_length()
-    clear = ~jnp.int32((1 << rb) - 1)
     rows = row0 + lax.broadcasted_iota(jnp.int32, d.shape, 0)
-    u = lax.bitcast_convert_type(d, jnp.int32)
-    return lax.bitcast_convert_type(((u & clear) | rows)
-                                    + jnp.int32(1 << 23), jnp.float32)
+    return pack_ids(d, rows, n_rows_total)
 
 
 def _fwd_kernel(n_total, a_ref, b_ref, da_ref, ja_ref, db_ref, pb_ref):
@@ -86,8 +86,7 @@ def _fwd_kernel(n_total, a_ref, b_ref, da_ref, ja_ref, db_ref, pb_ref):
     # d_a: exact row minima; argmin lane from ONE packed reduce
     da_ref[0] = jnp.min(d, axis=1, keepdims=True)
     pm = jnp.min(_pack_lane(d, m), axis=1, keepdims=True)
-    lb = (m - 1).bit_length()
-    ja_ref[0] = lax.bitcast_convert_type(pm, jnp.int32) & ((1 << lb) - 1)
+    ja_ref[0] = unpack_ids(pm, m)
 
     # d_b: exact column minima + packed-row argmin, accumulated over tiles
     @pl.when(j == 0)
@@ -174,8 +173,7 @@ def _fwd_pallas(a, b):
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_INTERPRET,
     )(a, b)
-    rb = (N - 1).bit_length()
-    ib = lax.bitcast_convert_type(pb, jnp.int32) & ((1 << rb) - 1)
+    ib = unpack_ids(pb, N)
     return da[..., 0], ja[..., 0], db[:, 0, :], ib[:, 0, :]
 
 

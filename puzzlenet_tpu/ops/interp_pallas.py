@@ -22,14 +22,13 @@ flow through the inverse-distance weights analytically (the kNN selection
 itself has zero gradient a.e.).
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .lanered import SENTINEL, pack_ids, unpack_ids
 from .pointops import index_points, square_distance
 
 _N_BLK = 256
@@ -37,8 +36,13 @@ _INTERPRET = False
 _EPS = 1e-8     # reference clamp: recip = 1 / max(d, 1e-8)
 
 
-def pallas_supported():
-    return _INTERPRET or jax.default_backend() == "tpu"
+def pallas_supported(n, s):
+    """Kernel-compatible shapes only — everything else takes the XLA
+    fallback instead of tripping the block asserts (n must tile into
+    [min(256, n)] query blocks; s rides the lane axis whole)."""
+    backend_ok = _INTERPRET or jax.default_backend() == "tpu"
+    blk_ok = n % 256 == 0 or (n <= 256 and n % 8 == 0)
+    return backend_ok and blk_ok and s % 128 == 0 and s <= 4096
 
 
 def _xla_three_nn(q_xyz, s_xyz, s_feat):
@@ -53,28 +57,23 @@ def _xla_three_nn(q_xyz, s_xyz, s_feat):
 
 
 def _pack(d, n_lanes):
-    """Pack the lane id into the low mantissa bits (lanered.py contract:
-    +1<<23 exponent shift dodges the VPU's denormal flush near d == 0)."""
-    lb = (n_lanes - 1).bit_length()
-    clear = ~jnp.int32((1 << lb) - 1)
+    """Pack the lane id into the low mantissa bits (the ops/lanered.py
+    contract — see pack_ids for the denormal-flush story)."""
     lanes = lax.broadcasted_iota(jnp.int32, d.shape, 1)
-    u = lax.bitcast_convert_type(d, jnp.int32)
-    return lax.bitcast_convert_type(((u & clear) | lanes)
-                                    + jnp.int32(1 << 23), jnp.float32)
+    return pack_ids(d, lanes, n_lanes)
 
 
 def _select3(d0):
     """3 packed min-reduce rounds -> ([rows, 1] int32 idx) * 3."""
     rows, S = d0.shape
-    lb = (S - 1).bit_length()
     lanes = lax.broadcasted_iota(jnp.int32, (rows, S), 1)
     p = _pack(d0, S)
     out = []
     for _ in range(3):
         m = jnp.min(p, axis=1, keepdims=True)
-        lidx = lax.bitcast_convert_type(m, jnp.int32) & ((1 << lb) - 1)
+        lidx = unpack_ids(m, S)
         out.append(lidx)
-        p = jnp.where(lanes == lidx, jnp.float32(3.4028235e38), p)
+        p = jnp.where(lanes == lidx, jnp.float32(SENTINEL), p)
     return out
 
 
@@ -131,34 +130,37 @@ def _bwd_kernel(q_ref, sx_ref, sf_ref, idx_ref, w_ref, g_ref,
     nb = jnp.dot(ohf, sf.astype(jnp.bfloat16),
                  preferred_element_type=jnp.float32)  # [3*rows, C]
 
-    # dL/dfeats: sum_i oh_i^T (w_i * g)  — one stacked scatter matmul
+    hi = jax.lax.Precision.HIGHEST
+    # dL/dfeats: sum_i oh_i^T (w_i * g) — one stacked scatter matmul.
+    # HIGHEST: these carry f32 GRADIENT VALUES (the one-hot routing is
+    # exact either way, but default precision would truncate every
+    # accumulated cotangent to a bf16 mantissa)
     wg = jnp.concatenate([w[:, i:i + 1] * g for i in range(3)], axis=0)
     dsf = lax.dot_general(ohf.astype(jnp.float32), wg,
                           dimension_numbers=(((0,), (0,)), ((), ())),
-                          preferred_element_type=jnp.float32)  # [S, C]
+                          preferred_element_type=jnp.float32,
+                          precision=hi)                # [S, C]
 
     # dL/dw_i = g . f_i ; back through w = r/sum(r), r = 1/max(d, eps)
     a = [jnp.sum(g * nb[i * rows:(i + 1) * rows], axis=1, keepdims=True)
          for i in range(3)]                           # [rows, 1] each
     wa = w[:, 0:1] * a[0] + w[:, 1:2] * a[1] + w[:, 2:3] * a[2]
 
+    # winners' exact xyz in ONE stacked one-hot gather (one nonzero per
+    # row; HIGHEST keeps the gathered coordinates bit-exact) — replaces
+    # 9 masked full-[rows, S] reductions
+    sxg = jnp.dot(ohf.astype(jnp.float32), sx,
+                  preferred_element_type=jnp.float32,
+                  precision=hi)                       # [3*rows, 3]
+
     dq = jnp.zeros((rows, 3), jnp.float32)
     dsx = jnp.zeros((S, 3), jnp.float32)
     for i in range(3):
         wi = w[:, i:i + 1]
-        # recover d_i and r_i from the saved weights: r_i = w_i * rsum;
-        # rsum cancels in dL/dd_i = -r_i^2 (a_i - wa) / rsum:
-        #   dL/dr_i = (a_i - wa) / rsum;  dr/dd = -r^2  (0 when clamped)
-        # using r_i = w_i * rsum:  dL/dd_i = -(w_i^2 * rsum) (a_i - wa)
-        # rsum must be rebuilt: rsum = 1 / (w_i_max... ) — instead save
-        # nothing extra: d_i from geometry (exact, same formula as fwd)
-        si = jnp.sum(jnp.where(ohs[i], sx[:, 0:1].T, 0.0), axis=1,
-                     keepdims=True)
-        sj = jnp.sum(jnp.where(ohs[i], sx[:, 1:2].T, 0.0), axis=1,
-                     keepdims=True)
-        sk = jnp.sum(jnp.where(ohs[i], sx[:, 2:3].T, 0.0), axis=1,
-                     keepdims=True)
-        diff = q - jnp.concatenate([si, sj, sk], axis=1)   # [rows, 3]
+        # recover d_i and r_i from geometry (exact, same formula as fwd);
+        # rsum from the saved weights: r_i = w_i * rsum, so
+        # dL/dd_i = -r_i^2 (a_i - wa) / rsum  (0 when clamped at eps)
+        diff = q - sxg[i * rows:(i + 1) * rows]            # [rows, 3]
         d_i = jnp.sum(diff * diff, axis=1, keepdims=True)
         r_i = 1.0 / jnp.maximum(d_i, _EPS)
         # rsum = r_i / w_i (w_i > 0 always: r > 0)
@@ -170,7 +172,8 @@ def _bwd_kernel(q_ref, sx_ref, sf_ref, idx_ref, w_ref, g_ref,
         dsx = dsx + lax.dot_general(
             ohs[i].astype(jnp.float32), contrib,
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # [S, 3]
+            preferred_element_type=jnp.float32,
+            precision=hi)                                  # [S, 3]
 
     dq_ref[0] = dq
     dsx_ref[0] = dsx_ref[0] + dsx
@@ -261,14 +264,14 @@ def three_nn_interpolate(q_xyz, s_xyz, s_feat):
     """[B, N, 3], [B, S, 3], [B, S, C] -> [B, N, C] inverse-distance 3-NN
     interpolation (PointNet++ FP, pointnet_util.py:265-315). Fused Pallas
     kernel on TPU; XLA math elsewhere."""
-    if pallas_supported():
+    if pallas_supported(q_xyz.shape[1], s_xyz.shape[1]):
         out, _, _ = _fwd_pallas(q_xyz, s_xyz, s_feat)
         return out
     return _xla_three_nn(q_xyz, s_xyz, s_feat)
 
 
 def _tni_fwd(q_xyz, s_xyz, s_feat):
-    if pallas_supported():
+    if pallas_supported(q_xyz.shape[1], s_xyz.shape[1]):
         out, idx, w = _fwd_pallas(q_xyz, s_xyz, s_feat)
         return out, (q_xyz, s_xyz, s_feat, idx, w)
     out, vjp = jax.vjp(_xla_three_nn, q_xyz, s_xyz, s_feat)

@@ -101,6 +101,33 @@ _NETWORKS = {
 # distances with perturbed low bits), and — unlike int32 max, whose bit
 # pattern is a NaN — still a valid float for Mosaic's f32-only argmin.
 _SENTINEL = 3.4028235e38
+SENTINEL = _SENTINEL
+
+
+def pack_ids(d, ids, n_ids):
+    """THE mantissa-packing contract, in one place (interp_pallas and
+    chamfer_pallas route selection through this; sorted_topk packs its
+    two-level lane+chunk variant inline below).
+
+    Clear the low log2(n_ids) mantissa bits of non-negative finite f32
+    ``d``, OR in ``ids`` (int32, same shape, < n_ids), and shift one
+    exponent up via an int32 add of 1 << 23 — order-preserving on
+    positive-float bit patterns (requires d < ~1.7e38), and REQUIRED:
+    the packed bits of a zero distance are a DENORMAL, which the TPU VPU
+    flushes to 0.0, silently erasing the id (CPU interpret mode does NOT
+    catch this class — validate selection kernels on hardware)."""
+    ib = (n_ids - 1).bit_length()
+    clear = ~jnp.int32((1 << ib) - 1)
+    u = lax.bitcast_convert_type(d, jnp.int32)
+    return lax.bitcast_convert_type(((u & clear) | ids)
+                                    + jnp.int32(1 << 23), jnp.float32)
+
+
+def unpack_ids(p, n_ids):
+    """Decode the ids packed by :func:`pack_ids` (e.g. after min-reducing
+    the packed values)."""
+    ib = (n_ids - 1).bit_length()
+    return lax.bitcast_convert_type(p, jnp.int32) & ((1 << ib) - 1)
 
 
 def sorted_topk_supported(n, g_max=8):

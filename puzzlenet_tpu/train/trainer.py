@@ -166,10 +166,21 @@ class Trainer:
             use_emd2=cfg.use_emd2, use_cd2=cfg.use_cd2,
             use_emd3=cfg.use_emd3, log_all=cfg.log_all_losses,
             bnd_ce_w=cfg.bnd_ce_w, bnd_cd_w=cfg.bnd_cd_w)
-        self.logger = TBLogger(os.path.join(cfg.output_path, "tb"))
+        # lazy: SummaryWriter creates event files at construction, and
+        # read-only consumers (infer.Session.from_run, cli/test.py,
+        # tools/) must not write into — or require write access to — a
+        # training run's dir just to load its checkpoint
+        self._logger = None
         self.ckpt_manager = None
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
+
+    @property
+    def logger(self):
+        if self._logger is None:
+            self._logger = TBLogger(
+                os.path.join(self.cfg.output_path, "tb"))
+        return self._logger
 
     # -- state ------------------------------------------------------------
 
@@ -224,22 +235,41 @@ class Trainer:
             metrics={"train_loss": float(train_loss)})
 
     def restore_checkpoint(self, state, path=None, step=None):
-        """Restore a TrainState (elastic recovery / --resume)."""
+        """Restore a TrainState (elastic recovery / --resume / serving).
+
+        With an explicit ``path`` the restore is READ-ONLY: it never
+        constructs a CheckpointManager on the target — manager INIT
+        garbage-collects checkpoints it considers unfinalized/legacy,
+        which is fatal on a LIVE training run's dir (CLAUDE.md gotcha;
+        it wiped a run's checkpoints once). Instead the numeric step
+        dirs are listed and ``<path>/<step>/default`` is restored
+        directly with a plain checkpointer."""
         import orbax.checkpoint as ocp
-        if path is not None:
-            mngr = ocp.CheckpointManager(os.path.abspath(path))
-        else:
-            mngr = self._ckpt()
-        step = mngr.latest_step() if step is None else step
-        if step not in mngr.all_steps():
-            raise FileNotFoundError(
-                f"checkpoint step {step} not found; available: "
-                f"{mngr.all_steps()} (top-2-by-train_loss retention)")
         template = {"params": state.params,
                     "batch_stats": state.batch_stats,
                     "opt_state": state.opt_state, "step": state.step}
-        restored = mngr.restore(step,
-                                args=ocp.args.StandardRestore(template))
+        if path is not None:
+            path = os.path.abspath(path)
+            steps = sorted(
+                int(d) for d in os.listdir(path)
+                if d.isdigit() and os.path.isdir(
+                    os.path.join(path, d, "default")))
+            step = steps[-1] if step is None else step
+            if step not in steps:
+                raise FileNotFoundError(
+                    f"checkpoint step {step} not found; available: "
+                    f"{steps} (top-2-by-train_loss retention)")
+            restored = ocp.StandardCheckpointer().restore(
+                os.path.join(path, str(step), "default"), template)
+        else:
+            mngr = self._ckpt()
+            step = mngr.latest_step() if step is None else step
+            if step not in mngr.all_steps():
+                raise FileNotFoundError(
+                    f"checkpoint step {step} not found; available: "
+                    f"{mngr.all_steps()} (top-2-by-train_loss retention)")
+            restored = mngr.restore(
+                step, args=ocp.args.StandardRestore(template))
         return TrainState(restored["params"], restored["batch_stats"],
                           restored["opt_state"], restored["step"])
 
