@@ -195,7 +195,6 @@ def _twice_masks(ks, cloud, cut, npoint):
     target_is_up = seed3 == 1
     target = jnp.where(target_is_up, first_up, ~first_up)
     other = ~target
-    too_small = jnp.sum(target) < 2 * npoint
 
     sub1, ok2 = _partition(ks[2], cloud, cut, npoint, valid=target)
     sub2 = target & ~sub1
@@ -211,7 +210,9 @@ def _twice_masks(ks, cloud, cut, npoint):
     moved = jnp.where(se == 2, sub1, picked)
     fixed = jnp.where(se == 0, rest | other,
                       jnp.where(se == 1, other, sub2))
-    use_single = (seed3 == 0) | too_small | ~ok2
+    # ok2 already implies sum(target) >= 2*npoint (_select_partition
+    # gates BOTH sides within `valid`), so no separate too-small check
+    use_single = (seed3 == 0) | ~ok2
     need_check = (se == 1) & ~use_single
     return moved, fixed, need_check, use_single
 
@@ -245,6 +246,10 @@ def make_batch(key, clouds, npoint=NPOINT, boundary_k=128, mag=0.8,
     Beyond-reference knob; the igt contract (mrpc = igt . rpc) and the
     eval metrics are unchanged.
     """
+    if frag_cuts and split_twice:
+        raise ValueError(
+            "frag_cuts applies to the single-cut path only; it would be "
+            "silently ignored under split_twice — pass frag_cuts=0")
     B = clouds.shape[0]
     keys = jax.random.split(key, B * 8).reshape(B, 8, 2)
 

@@ -418,10 +418,12 @@ class Trainer:
         cut = category_cut(cfg.dataset) if cut is None else cut
         split_twice = (cfg.random_slice if split_twice is None
                        else split_twice)
-        if cfg.frag_cuts and split_twice:
+        frag_cuts = cfg.frag_cuts
+        if frag_cuts and split_twice:
             print("WARNING: --frag_cuts only applies to the single-cut "
                   "path; ignored under --random_slice/split_twice",
                   flush=True)
+            frag_cuts = 0          # make_batch raises on the combination
         steps_per_epoch = max(1, n_clouds // cfg.batch_size)
         if pretrain_steps is None:
             pretrain_steps = cfg.pretrain_epochs * steps_per_epoch
@@ -433,7 +435,7 @@ class Trainer:
                                     replace=n_clouds < cfg.batch_size)
             batch = make_batch(k_batch, clouds[sel], npoint=cfg.num_points,
                                cut=cut, split_twice=split_twice,
-                               frag_cuts=cfg.frag_cuts,
+                               frag_cuts=frag_cuts,
                                mag_randomly=cfg.random,
                                global_mag=cfg.global_pose)
             return train_step(self.model, self.tx, self.flags, pretrain,
@@ -463,7 +465,7 @@ class Trainer:
             lambda k: make_batch(k, sample_clouds(k),
                                  npoint=cfg.num_points, cut=cut,
                                  split_twice=split_twice,
-                                 frag_cuts=cfg.frag_cuts,
+                                 frag_cuts=frag_cuts,
                                  mag_randomly=cfg.random,
                                  global_mag=cfg.global_pose))(key))
         state = self.init_state(first)
@@ -472,7 +474,7 @@ class Trainer:
 
         viz_batch_fn = jax.jit(functools.partial(
             make_batch, npoint=cfg.num_points, cut=cut,
-            split_twice=split_twice, frag_cuts=cfg.frag_cuts,
+            split_twice=split_twice, frag_cuts=frag_cuts,
             mag_randomly=cfg.random, global_mag=cfg.global_pose))
         # periodic validation (the host fit()'s check_val_every_n_epoch
         # cadence, model5_b.py:1172-1277 metrics): one FIXED batch drawn

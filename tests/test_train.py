@@ -267,6 +267,34 @@ class TestLoader:
         lp.close()
 
 
+class TestEvaluatorBatchInvariance:
+    def test_metrics_independent_of_batch_size(self, model_out):
+        """The same checkpoint must write the same metrics.txt numbers at
+        any --batch_size: per-SAMPLE rows, partial final batch padded and
+        dropped (regression: per-batch row averaging over-weighted the
+        partial batch and micro-averaged IoU within batches)."""
+        from puzzlenet_tpu.train.evaluator import evaluate
+
+        model, variables, _ = model_out
+        big = _make_batch(b=5, seed=7)
+        items = [[np.asarray(x[i]) for x in big] for i in range(5)]
+
+        class DS:
+            def __len__(self):
+                return 5
+
+            def __getitem__(self, i):
+                return items[i]
+
+        r1 = evaluate(model, variables["params"], variables["batch_stats"],
+                      DS(), batch_size=1, num_workers=0)
+        r2 = evaluate(model, variables["params"], variables["batch_stats"],
+                      DS(), batch_size=2, num_workers=0)
+        for k in r1:
+            np.testing.assert_allclose(r1[k], r2[k], rtol=1e-5, atol=1e-6,
+                                       err_msg=k)
+
+
 class TestEvaluatorPretrain:
     def test_pretrain_metrics_pose_only(self, batch, model_out):
         """evaluate(pretrain=True) runs the predict6 path: real pose
@@ -276,8 +304,9 @@ class TestEvaluatorPretrain:
         row = np.asarray(test_step_metrics(
             model, variables["params"], variables["batch_stats"], batch,
             pretrain=True))
-        assert np.all(np.isfinite(row[:6]))
-        assert np.all(np.isnan(row[6:]))
+        assert row.shape == (batch.fpc.shape[0], 10)   # per-sample rows
+        assert np.all(np.isfinite(row[:, :6]))
+        assert np.all(np.isnan(row[:, 6:]))
         full = np.asarray(test_step_metrics(
             model, variables["params"], variables["batch_stats"], batch))
         assert np.all(np.isfinite(full))
