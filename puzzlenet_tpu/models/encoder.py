@@ -126,7 +126,7 @@ class PCTEncoder(nn.Module):
         # Under --bf16 the fused kernel's MLP matmuls (fwd and, under
         # grad, bwd) run with bf16 operands + f32 accumulation — full
         # MXU rate; gradient routing is dtype-proof (ops/sg_pallas.py).
-        bf16_mm = self.dtype == jnp.bfloat16
+        bf16_mm = jnp.dtype(self.dtype) == jnp.bfloat16
         w3, b3, w4, b4 = sg_params("mlp34", self.feature_size + 3, 128,
                                    self.gs2_feature_size)
         with jax.named_scope("sg_stage1"):
@@ -144,6 +144,11 @@ class PCTEncoder(nn.Module):
         # aside) and the second FPS kernel call is free.
         w5, b5, w6, b6 = sg_params("mlp56", self.gs2_feature_size + 3, d2,
                                    d2)
+        # the prefix shortcut (and the architecture) requires the
+        # stage-2 centroid count to be a subset of stage 1's — slicing
+        # would otherwise clamp silently
+        assert self.sg2_points <= self.sg1_points, \
+            (self.sg2_points, self.sg1_points)
         with jax.named_scope("sg_stage2"):
             x2 = x1[:, :self.sg2_points]
             f2f = fused_set_abstraction(x2, x1, f1f, w5, b5, w6, b6,

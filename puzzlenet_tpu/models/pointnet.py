@@ -14,6 +14,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops import (
+    ball_query,
     farthest_point_sample,
     index_points,
     knn_indices,
@@ -21,6 +22,7 @@ from ..ops import (
     sample_and_group_all,
     square_distance,
 )
+from ..ops.interp_pallas import three_nn_interpolate
 
 
 class _SharedMLP(nn.Module):
@@ -85,7 +87,6 @@ class PointNetSetAbstractionMsg(nn.Module):
             if self.knn:
                 idx = knn_indices(new_xyz, xyz, k)
             else:
-                from ..ops import ball_query
                 idx = ball_query(radius, k, xyz, new_xyz)
             grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None]
             if points is not None:
@@ -115,13 +116,11 @@ class PointNetFeaturePropagation(nn.Module):
             interpolated = jnp.broadcast_to(
                 points2, (points2.shape[0], xyz1.shape[1], points2.shape[-1]))
         else:
-            d = square_distance(xyz1, xyz2)
-            idx = jnp.argsort(d, axis=-1)[:, :, :3]
-            d3 = jnp.take_along_axis(d, idx, axis=-1)
-            recip = 1.0 / (d3 + 1e-8)
-            weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
-            gathered = index_points(points2, idx)          # [B, N, 3, D2]
-            interpolated = jnp.sum(gathered * weight[..., None], axis=2)
+            # one shared 3-NN inverse-distance implementation (fused
+            # Pallas kernel on TPU, XLA fallback elsewhere) instead of
+            # an argsort formulation, which lowers to a full [B, N, S]
+            # sort on TPU (ops/interp_pallas.py docstring)
+            interpolated = three_nn_interpolate(xyz1, xyz2, points2)
         if points1 is not None:
             interpolated = jnp.concatenate([points1, interpolated], axis=-1)
         return _SharedMLP(self.mlp)(interpolated, train=train)

@@ -164,10 +164,14 @@ class PuzzleNet(nn.Module):
         n = fpc.shape[1]
         # each piece's per-point features concat the OTHER piece's global
         fpc_seg = jnp.concatenate(
-            [jnp.broadcast_to(mrpc_global, (nm.shape[0], n, 64)), nf],
+            [jnp.broadcast_to(mrpc_global,
+                              (mrpc_global.shape[0], n,
+                               mrpc_global.shape[-1])), nf],
             axis=-1)
         mrpc_seg = jnp.concatenate(
-            [jnp.broadcast_to(fpc_global, (nf.shape[0], n, 64)), nm],
+            [jnp.broadcast_to(fpc_global,
+                              (fpc_global.shape[0], n,
+                               fpc_global.shape[-1])), nm],
             axis=-1)
 
         fpcb_logits = jnp.swapaxes(self.head_fpcb(fpc_seg), 1, 2)    # [B,2,N]

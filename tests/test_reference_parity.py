@@ -145,8 +145,17 @@ def test_metrics_suite_parity(ref_model, clouds):
         theirs = ref_test_step(ref_model, ref_se3, ref_metrics, arrays)
         ours = np.asarray(test_step_metrics(
             model, params, stats,
-            Batch(*[a.astype(np.float32) for a in arrays])))
-        np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=1e-5)
+            Batch(*[a.astype(np.float32) for a in arrays]))).reshape(-1)
+        # pose + IoU columns: tight
+        np.testing.assert_allclose(ours[:8], theirs[:8], rtol=2e-3,
+                                   atol=1e-5)
+        # boundary-chamfer columns: top-128 selection near-ties make the
+        # 128th/129th logit margins ~1e-7 apart on this random-weight
+        # fixture, so ANY compilation-order jitter (ours or torch's) can
+        # swap one boundary point and move cd by ~1/128 of its value —
+        # allow a one-point-swap band
+        np.testing.assert_allclose(ours[8:], theirs[8:], rtol=2e-2,
+                                   atol=1e-4)
 
 
 def test_encoder_full_contract_parity(ref_model, clouds):
