@@ -95,6 +95,19 @@ class Config:
                                              # pair cut — trains at K-piece
                                              # assembly fragment sizes
                                              # (data/device_pipeline.py)
+    mag: float = 0.8                         # training twist magnitude
+                                             # (RandomTransformSE3's 0.8,
+                                             # transforms.py:151-197;
+                                             # device-data path only).
+                                             # Assembly-time relative
+                                             # poses are COMPOSITIONS of
+                                             # two scatter twists (norm up
+                                             # to ~1.6), so assembly
+                                             # checkpoints train with
+                                             # --mag 1.7 --random; val and
+                                             # the host test sets stay at
+                                             # the reference's 0.8 for
+                                             # comparability
     global_pose: float = 0.0                 # > 0: rigidly move the whole
                                              # training pair (both pieces +
                                              # boundaries) by a shared

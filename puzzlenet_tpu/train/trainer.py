@@ -435,7 +435,7 @@ class Trainer:
                                     replace=n_clouds < cfg.batch_size)
             batch = make_batch(k_batch, clouds[sel], npoint=cfg.num_points,
                                cut=cut, split_twice=split_twice,
-                               frag_cuts=frag_cuts,
+                               frag_cuts=frag_cuts, mag=cfg.mag,
                                mag_randomly=cfg.random,
                                global_mag=cfg.global_pose)
             return train_step(self.model, self.tx, self.flags, pretrain,
@@ -465,7 +465,7 @@ class Trainer:
             lambda k: make_batch(k, sample_clouds(k),
                                  npoint=cfg.num_points, cut=cut,
                                  split_twice=split_twice,
-                                 frag_cuts=frag_cuts,
+                                 frag_cuts=frag_cuts, mag=cfg.mag,
                                  mag_randomly=cfg.random,
                                  global_mag=cfg.global_pose))(key))
         state = self.init_state(first)
@@ -474,7 +474,7 @@ class Trainer:
 
         viz_batch_fn = jax.jit(functools.partial(
             make_batch, npoint=cfg.num_points, cut=cut,
-            split_twice=split_twice, frag_cuts=frag_cuts,
+            split_twice=split_twice, frag_cuts=frag_cuts, mag=cfg.mag,
             mag_randomly=cfg.random, global_mag=cfg.global_pose))
         # periodic validation (the host fit()'s check_val_every_n_epoch
         # cadence, model5_b.py:1172-1277 metrics): one FIXED batch drawn

@@ -147,6 +147,23 @@ class TestMagRandomly:
         assert amps.min() < 0.3          # small twists actually occur
         assert amps.std() > 0.1          # spread, not a constant
 
+    def test_wider_mag(self, clouds):
+        """--mag widens the twist range (assembly checkpoints train at
+        1.7 to cover scatter-composition relative poses)."""
+        from puzzlenet_tpu.semath import se3
+
+        cl = jnp.asarray(clouds)
+        amps = []
+        for s in range(8):
+            b = make_batch(jax.random.PRNGKey(s), cl, npoint=NPOINT,
+                           boundary_k=K, cut="plane", mag=1.7,
+                           mag_randomly=True)
+            amps += [float(jnp.linalg.norm(t)) for t in se3.log(b.igt)]
+        amps = np.asarray(amps)
+        assert amps.max() <= 1.7 + 1e-4
+        assert amps.max() > 0.9          # actually exceeds the 0.8 range
+        assert amps.min() < 0.5
+
 
 class TestGlobalPose:
     def test_rigid_comovement_and_contract(self, clouds):
