@@ -47,7 +47,11 @@ def _approx_match_single(xyz1, xyz2):
     multiL = float(1 if n >= m else m // n)
     multiR = float(n // m if n >= m else 1)
 
-    D = square_distance(xyz1[None], xyz2[None])[0]  # [n, m]
+    # clamp: the matmul-expansion distance can round slightly NEGATIVE
+    # for near-coincident points, and exp(-4^7 * D) then overflows to inf
+    # and poisons the match with NaN — the CUDA reference and the Pallas
+    # kernel both compute d elementwise and never see this
+    D = jnp.maximum(square_distance(xyz1[None], xyz2[None])[0], 0.0)
     levels = _round_levels(dtype)
 
     def body(r, state):
@@ -148,6 +152,9 @@ def earth_mover_distance(xyz1, xyz2, transpose=False, backend="auto"):
     if transpose:
         xyz1 = jnp.swapaxes(xyz1, -1, -2)
         xyz2 = jnp.swapaxes(xyz2, -1, -2)
+    if backend not in ("auto", "pallas", "lax"):
+        raise ValueError(f"unknown EMD backend {backend!r}: "
+                         "expected 'auto', 'pallas' or 'lax'")
     if backend in ("auto", "pallas"):
         try:
             from .emd_pallas import emd_cost_pallas, pallas_supported

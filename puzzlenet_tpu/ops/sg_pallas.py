@@ -142,15 +142,22 @@ def _sg_kernel(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
     # phase B — gather + MLP + max over neighbor blocks of kb. A fori_loop
     # (not a Python unroll) keeps only ONE block's intermediates live in
     # scoped VMEM; unrolled, the stage-2 shapes blow the 64 MB limit.
-    cat = jnp.concatenate([xyz, feats], axis=1).astype(jnp.bfloat16)
+    # xyz is gathered with an f32 one-hot matmul and centered in f32:
+    # casting ABSOLUTE coordinates to bf16 before centering loses up to
+    # ~0.004 absolute (~10-20% RELATIVE error on near-centroid rel-xyz),
+    # while bf16 rounding AFTER centering matches what any bf16 Dense
+    # operand pays. Features stay bf16-gathered (one operand rounding,
+    # same as the fallback path's Dense).
+    catf = feats.astype(jnp.bfloat16)
     qs = jnp.concatenate([q] * kb, axis=0)                   # [kb*s, 3]
 
     def blk_body(blk, carry):
         acc, amax, m1, m2 = carry
         k0 = blk * kb
-        oh = _onehots(idx_acc, kcols, lane, k0, kb, jnp.bfloat16)
-        nb = _dot(oh, cat)                                   # [kb*s, 3+C]
-        gk = jnp.concatenate([nb[:, :3] - qs, nb[:, 3:]], axis=1)
+        oh = _onehots(idx_acc, kcols, lane, k0, kb, jnp.float32)
+        nbx = _dot(oh, xyz)                                  # [kb*s, 3]
+        nbf = _dot(oh.astype(jnp.bfloat16), catf)            # [kb*s, C]
+        gk = jnp.concatenate([nbx - qs, nbf], axis=1)
         a1, a2, hv = _mlp2(gk, w1, b1, w2, b2, mmdt)
         for j in range(kb):
             rows = slice(j * s, (j + 1) * s)
@@ -212,7 +219,13 @@ def _sg_kernel_pipe(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
     lanesL = lax.broadcasted_iota(jnp.int32, (s, meta[1]), 1)
     cols, winners = topk_stream_next(cols, lanesL, meta, kb)
 
-    cat = jnp.concatenate([xyz, feats], axis=1).astype(jnp.bfloat16)
+    # xyz is gathered with an f32 one-hot matmul and centered in f32:
+    # casting ABSOLUTE coordinates to bf16 before centering loses up to
+    # ~0.004 absolute (~10-20% RELATIVE error on near-centroid rel-xyz),
+    # while bf16 rounding AFTER centering matches what any bf16 Dense
+    # operand pays. Features stay bf16-gathered (one operand rounding,
+    # same as the fallback path's Dense).
+    catf = feats.astype(jnp.bfloat16)
     qs = jnp.concatenate([q] * kb, axis=0)                   # [kb*s, 3]
 
     def consume_block(k0, winners, idx_acc, acc, amax, m1, m2):
@@ -223,10 +236,11 @@ def _sg_kernel_pipe(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
             sel = winners[:, j:j + 1]                        # [s, 1]
             if with_masks:       # saved for the backward's routing only
                 idx_acc = jnp.where(kcols == k0 + j, sel, idx_acc)
-            ohs.append((lane == sel).astype(jnp.bfloat16))
+            ohs.append((lane == sel).astype(jnp.float32))
         oh = jnp.concatenate(ohs, axis=0)                    # [kb*s, n]
-        nb = _dot(oh, cat)                                   # [kb*s, 3+C]
-        gk = jnp.concatenate([nb[:, :3] - qs, nb[:, 3:]], axis=1)
+        nbx = _dot(oh, xyz)                                  # [kb*s, 3]
+        nbf = _dot(oh.astype(jnp.bfloat16), catf)            # [kb*s, C]
+        gk = jnp.concatenate([nbx - qs, nbf], axis=1)
         a1, a2, hv = _mlp2(gk, w1, b1, w2, b2, mmdt)
         for j in range(kb):
             rows = slice(j * s, (j + 1) * s)
@@ -399,7 +413,7 @@ def _sg_bwd_kernel(k, kb, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
 
     lane = lax.broadcasted_iota(jnp.int32, (s, n), 1)
     kcols = lax.broadcasted_iota(jnp.int32, (s, k), 1)
-    cat = jnp.concatenate([xyz, feats], axis=1).astype(jnp.bfloat16)
+    catf = feats.astype(jnp.bfloat16)   # xyz gathers in f32 — see fwd
     qs = jnp.concatenate([q] * kb, axis=0)
 
     @pl.when(j == 0)
@@ -426,8 +440,9 @@ def _sg_bwd_kernel(k, kb, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
         dq, dcat, dw1, db1, dw2, db2 = carry
         k0 = blk * kb
         oh = _onehots(idxmat, kcols, lane, k0, kb, jnp.float32)
-        nb = _dot(oh.astype(jnp.bfloat16), cat)          # exact, see fwd
-        gk = jnp.concatenate([nb[:, :3] - qs, nb[:, 3:]], axis=1)
+        nbx = _dot(oh, xyz)                              # [kb*s, 3]
+        nbf = _dot(oh.astype(jnp.bfloat16), catf)        # [kb*s, C]
+        gk = jnp.concatenate([nbx - qs, nbf], axis=1)
         a1 = _dot(gk.astype(mmdt), w1.astype(mmdt)) + b1
         bit1 = stack_k(lambda jj: ((m1 >> (k0 + jj).astype(jnp.uint32))
                                    & jnp.uint32(1)) > 0)  # [kb*s, H]
@@ -455,7 +470,7 @@ def _sg_bwd_kernel(k, kb, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
     dq, dcat, dw1, db1, dw2, db2 = lax.fori_loop(
         0, k // kb, blk_body,
         (jnp.zeros((s, 3), jnp.float32),
-         jnp.zeros((n, cat.shape[1]), jnp.float32),
+         jnp.zeros((n, 3 + catf.shape[1]), jnp.float32),
          jnp.zeros(dw1_ref.shape, jnp.float32),
          jnp.zeros(db1_ref.shape, jnp.float32),
          jnp.zeros(dw2_ref.shape, jnp.float32),

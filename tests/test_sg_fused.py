@@ -98,17 +98,18 @@ class TestKernelInterpret:
                                    rtol=2e-2, atol=2e-2)
 
     def test_backward_kernel(self, interpret_mode):
-        """Gradients vs a bf16-matched direct oracle: rounding the
-        gathered inputs to bf16 exactly as the kernel does makes the
-        relu gates and max winners agree, so routing-sensitive gradient
-        rows line up instead of flipping on near-ties."""
+        """Gradients vs a rounding-matched direct oracle: the kernel
+        gathers xyz in f32 (centered BEFORE any bf16 rounding) and
+        features through one bf16 rounding — mirroring that in the
+        oracle makes the relu gates and max winners agree, so
+        routing-sensitive gradient rows line up instead of flipping on
+        near-ties."""
         args = self._kargs(1)
 
         def bf16_direct(q, xyz, feats, w1, b1, w2, b2):
-            xb = xyz.astype(jnp.bfloat16).astype(jnp.float32)
             fb = feats.astype(jnp.bfloat16).astype(jnp.float32)
             idx = knn_indices(q, xyz, 32)
-            return _mlp_max_from_idx(q, xb, fb, w1, b1, w2, b2, idx)
+            return _mlp_max_from_idx(q, xyz, fb, w1, b1, w2, b2, idx)
 
         def loss(impl, w1, feats):
             q, xyz, _, _, b1, w2, b2 = args
