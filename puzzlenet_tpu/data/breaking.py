@@ -54,6 +54,10 @@ class BreakingDataset:
         item0, item1 = self.items_list[index][0], self.items_list[index][1]
         points1 = fps_np(self._sample(item0, rng), 1024, rng=rng)
         points2 = fps_np(self._sample(item1, rng), 1024, rng=rng)
+        if points1 is None or points2 is None:
+            raise ValueError(
+                "breaking-bad piece sampled fewer than 1024 points — "
+                "mesh too small for the 1024-point contract")
         fpcb, rpcb, fpc_idx, rpc_idx = get_boundary_np(points1, points2)
         out = (points2.astype(np.float32), points1.astype(np.float32),
                fpcb, rpcb, fpc_idx, rpc_idx)

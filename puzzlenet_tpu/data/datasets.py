@@ -21,6 +21,8 @@ workers (unreproducible); here every draw derives from
 
 import os
 
+import threading
+
 import numpy as np
 
 from .augment import fps_np, random_se3_np
@@ -59,6 +61,10 @@ class SlicedCloudDataset:
         self.epoch = 0
         self.max_retries = max_retries
         self.return_cut = return_cut
+        # per-thread cut stash: Loader worker threads share this dataset
+        # object, and a plain attribute would let one worker's cut draw be
+        # returned as another worker's cut surface
+        self._cut_tls = threading.local()
         n = len(clouds)
         split = int(n * split_rate)
         if mode == "train":
@@ -79,28 +85,40 @@ class SlicedCloudDataset:
 
     def _cut_until_big_enough(self, pc, rng):
         """Re-slice until both sides have >= npoint points (bounded).
-        Stashes the cut parameters in self._last_cut when return_cut is on
-        (dataset4val2's need=True contract)."""
+        Stashes the cut parameters in the per-thread cut stash when
+        return_cut is on (dataset4val2's need=True contract)."""
         for _ in range(self.max_retries):
             res = self.slicer(pc, rng=rng, need=self.return_cut)
             up, down = res[0], res[1]
             if len(up) >= self.npoint and len(down) >= self.npoint:
-                self._last_cut = res[2] if self.return_cut else None
+                self._cut_tls.last = res[2] if self.return_cut else None
                 return up, down
         # guaranteed fallback: plane through the centroid along the widest
         # axis splits any cloud with >= 2*npoint points into two big halves
         axis = int(np.argmax(pc.max(0) - pc.min(0)))
         med = np.median(pc[:, axis])
         normal = np.eye(3)[axis]
-        self._last_cut = {"type": "plane", "normal": normal,
-                          "z": -float(med)} if self.return_cut else None
+        self._cut_tls.last = {"type": "plane", "normal": normal,
+                              "z": -float(med)} if self.return_cut else None
         up = pc[pc[:, axis] >= med]
         down = pc[pc[:, axis] < med]
         return up, down
 
+    def _fps(self, pts, rng, what):
+        out = fps_np(pts, self.npoint, rng=rng)
+        if out is None:
+            # fps_np returns None below npoint inputs; surface the real
+            # cause instead of a distant NoneType AttributeError (the
+            # median-plane fallback cannot bisect duplicate-heavy or
+            # sub-2*npoint clouds)
+            raise ValueError(
+                f"{what}: piece has {len(pts)} < npoint={self.npoint} "
+                "points — cloud too small/degenerate for this npoint")
+        return out
+
     def _finalize(self, up, down, rng):
-        up = fps_np(up, self.npoint, rng=rng)
-        down = fps_np(down, self.npoint, rng=rng)
+        up = self._fps(up, rng, "up piece")
+        down = self._fps(down, rng, "down piece")
         fpcb, rpcb, fpc_idx, rpc_idx = get_boundary_np(down, up, self.boundary_k)
         return (up.astype(np.float32), down.astype(np.float32), fpcb, rpcb,
                 fpc_idx, rpc_idx)
@@ -138,19 +156,17 @@ class SlicedCloudDataset:
                 break
         else:
             return self._getitem_once(pc, rng)
-        if len(sub1) < self.npoint or len(sub2) < self.npoint:
-            return self._getitem_once(pc, rng)
 
         se = int(rng.integers(0, 3))
         choice = int(rng.integers(0, 2))
         picked, rest = (sub1, sub2) if choice == 0 else (sub2, sub1)
 
         if se == 0 or len(other) < self.npoint:
-            moved = fps_np(picked, self.npoint, rng=rng)
-            fixed = fps_np(np.vstack([rest, other]), self.npoint, rng=rng)
+            moved = self._fps(picked, rng, "sub-piece")
+            fixed = self._fps(np.vstack([rest, other]), rng, "merged rest")
         elif se == 1:
-            moved = fps_np(picked, self.npoint, rng=rng)
-            fixed = fps_np(other, self.npoint, rng=rng)
+            moved = self._fps(picked, rng, "sub-piece")
+            fixed = self._fps(other, rng, "other half")
             fpcb, rpcb, fpc_idx, rpc_idx = get_boundary_np(fixed, moved,
                                                            self.boundary_k)
             if _np_chamfer_mean(fpcb, rpcb) > 0.015:
@@ -158,8 +174,8 @@ class SlicedCloudDataset:
             return (moved.astype(np.float32), fixed.astype(np.float32),
                     fpcb, rpcb, fpc_idx, rpc_idx)
         else:
-            moved = fps_np(sub1, self.npoint, rng=rng)
-            fixed = fps_np(sub2, self.npoint, rng=rng)
+            moved = self._fps(sub1, rng, "sub-piece 1")
+            fixed = self._fps(sub2, rng, "sub-piece 2")
 
         fpcb, rpcb, fpc_idx, rpc_idx = get_boundary_np(fixed, moved,
                                                        self.boundary_k)
@@ -169,6 +185,10 @@ class SlicedCloudDataset:
     def __getitem__(self, index):
         rng = self._rng(index)
         pc = np.asarray(self.clouds[index], np.float32)
+        # reset THIS thread's cut stash: split_twice se-paths never draw a
+        # primary cut, and a stale one from a previous item must not leak
+        # into their cut-surface output
+        self._cut_tls.last = None
         if self.split_twice:
             item = self._getitem_twice(pc, rng)
         else:
@@ -178,8 +198,9 @@ class SlicedCloudDataset:
             # (dataset4val2.py:38-109); here: points sampled on the
             # analytic cut surface (boundary union if unavailable, e.g.
             # split_twice paths)
-            if getattr(self, "_last_cut", None) is not None:
-                cut = sample_cut_surface(self._last_cut, n=512, rng=rng)
+            last = getattr(self._cut_tls, "last", None)
+            if last is not None:
+                cut = sample_cut_surface(last, n=512, rng=rng)
             else:
                 cut = np.vstack([item[2], item[3]])
             return item + (cut,)

@@ -107,7 +107,10 @@ def plyread(path):
         props = []
         current = None
         while True:
-            line = f.readline().strip()
+            raw = f.readline()
+            if raw == "":        # EOF before end_header: truncated file
+                raise ValueError(f"truncated PLY header: {path}")
+            line = raw.strip()
             if line.startswith("format"):
                 fmt = line.split()[1]
             elif line.startswith("element vertex"):

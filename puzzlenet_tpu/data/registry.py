@@ -58,8 +58,10 @@ def category_cut(category):
 
 def category_clouds(category, synth_count=64, split="train"):
     """The whole-cloud stack a category slices from, as one [n, M, 3] f32
-    array (clouds FPS-trimmed to the min cloud size so the stack is
-    rectangular) — the input format of data/device_pipeline.make_batch."""
+    array (oversized clouds trimmed to the min cloud size by a seeded
+    random subset so the stack is rectangular; masked FPS to npoint then
+    happens on device) — the input format of
+    data/device_pipeline.make_batch."""
     if category not in _NAMES:
         raise ValueError(f"no whole-cloud stack for category {category!r}")
     name, family, _ = _NAMES[category]
@@ -119,8 +121,10 @@ def get_dataset(category, random=False, random_slice=False, synth_count=64,
             tr = BuildingDataset(data_dir(), "train")
             va = BuildingDataset(data_dir(), "val")
             te = BuildingDataset(data_dir(), "test")
-        except FileNotFoundError:
-            # synthetic substitute: plane-split blob clouds
+        except (FileNotFoundError, ValueError):
+            # synthetic substitute: plane-split blob clouds. ValueError:
+            # a git-LFS pointer stub reaches np.load and raises it — the
+            # same missing-payload situation as an absent file
             tr, va, te = _sliced_triple("buildings.npy", "blob", plane_split,
                                         False, synth_count)
     elif category == "bbv":
@@ -183,7 +187,9 @@ def get_cad_datasets(category="cad", random=False, random_slice=False,
     'cad'/'cadr'/'cadpro'/'cadpro_cone'/'cadpro_sphere' -> boundary-less
     4-tuple pairs (MovedPairDataset); 'cadrr'/'cadrr2' -> the 8-tuple
     slice-on-draw contract; 'bs'/'snp' -> precomputed up/down/igt/mup npys.
-    Falls back to synthetic stand-ins when npy payloads are absent.
+    Falls back to synthetic stand-ins when npy payloads are absent —
+    EXCEPT 'bs'/'snp', whose precomputed-pair format has no synthetic
+    generator; those raise FileNotFoundError without their payloads.
     """
     from .datasets import (MovedPairDataset, PrecomputedPairDataset,
                            PrecutPairDataset, SlicedCloudDataset)
@@ -199,7 +205,7 @@ def get_cad_datasets(category="cad", random=False, random_slice=False,
         try:
             tr = PrecutPairDataset(data_dir(), base, train=True)
             te = PrecutPairDataset(data_dir(), base, train=False)
-        except FileNotFoundError:
+        except (FileNotFoundError, ValueError):
             tr = _PrecutSynthAdapter("airplane", synth_count, 0, slicer)
             te = _PrecutSynthAdapter("airplane", max(synth_count // 4, 4),
                                      999, slicer)

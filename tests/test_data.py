@@ -280,6 +280,21 @@ class TestCutSurface:
         cut = item[6]
         assert cut.shape == (512, 3)
 
+    def test_return_cut_order_independent(self):
+        """The cut output for index i must not depend on which items were
+        drawn before it (regression: a stale instance-level _last_cut
+        from a previous item leaked into split_twice se-paths, which
+        never draw a primary cut)."""
+        clouds = D.synthetic_clouds("vase", count=6, n_points=7000, seed=6)
+        mk = lambda: D.SlicedCloudDataset(      # noqa: E731
+            clouds, mode="train", split_rate=1.0, split_twice=True,
+            return_cut=True)
+        ds = mk()
+        sequential = [ds[i][6] for i in range(6)]
+        for i in range(6):
+            fresh = mk()[i][6]        # first access on a fresh dataset
+            np.testing.assert_array_equal(sequential[i], fresh)
+
     def test_cut_surface_geometry(self):
         from puzzlenet_tpu.data.slicers import sample_cut_surface
 
