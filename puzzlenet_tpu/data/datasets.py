@@ -77,6 +77,18 @@ class SlicedCloudDataset:
     def __len__(self):
         return len(self.clouds)
 
+    def __getstate__(self):
+        # threading.local is unpicklable; the process Loader ships the
+        # dataset to spawn workers by pickle, and each worker process gets
+        # its own copy, so a fresh stash there is correct
+        state = self.__dict__.copy()
+        state["_cut_tls"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._cut_tls = threading.local()
+
     def set_epoch(self, epoch):
         self.epoch = epoch
 
