@@ -202,6 +202,73 @@ def topk_stream_next(cols, lanes, meta, nsteps):
     return tuple(cs), jnp.concatenate(winners, axis=1)
 
 
+# ---- transposed-layout stream (sublane-axis reduction) ---------------------
+#
+# Same sorted-column contract with the tile TRANSPOSED: dT [n, rows] is
+# chunked along SUBLANES into g blocks of L rows, the per-position cross-
+# chunk columns are sorted by the same network, and each extraction round
+# min-reduces over the SUBLANE axis. On TPU a sublane-axis reduction
+# combines whole vregs in a shrinking tree (~L/8 + log ops) where the
+# lane-axis reduction of the row-major form pays a full-width rotate chain
+# (log2(L) stages over every vreg) — the round cost drops from
+# reduce-dominated to shift-dominated. Packing bits, tie rules and the
+# selected sets are IDENTICAL to the row-major stream (lane id -> sublane
+# id within the chunk); winners come out as [1, rows] lane-major vectors,
+# which the fused SG kernel consumes by building TRANSPOSED one-hot rows
+# and contracting dim0 x dim0 (the `rows_dot` form Mosaic lowers natively).
+
+
+def topk_stream_init_T(dT, g_max=8):
+    """Transposed twin of :func:`topk_stream_init`: dT [n, rows] ->
+    ``(cols, (g, L, gb))`` with ``cols`` a tuple of g [L, rows] arrays,
+    each position's cross-chunk column sorted ascending."""
+    n, rows = dT.shape
+    g = min(g_max, n // 128)
+    assert sorted_topk_supported(n, g_max), (n, g_max)
+    L = n // g
+    gb = (g - 1).bit_length()
+    lb = (L - 1).bit_length()
+    clear = ~jnp.int32((1 << (gb + lb)) - 1)
+    sub_bits = lax.broadcasted_iota(jnp.int32, (L, rows), 0) << gb
+    u = lax.bitcast_convert_type(dT, jnp.int32)
+    cols = [lax.bitcast_convert_type(
+        ((u[gi * L:(gi + 1) * L] & clear) | sub_bits | gi)
+        + jnp.int32(1 << 23), jnp.float32)
+        for gi in range(g)]
+    for a, b in _NETWORKS[g]:
+        lo = jnp.minimum(cols[a], cols[b])
+        hi = jnp.maximum(cols[a], cols[b])
+        cols[a], cols[b] = lo, hi
+    return tuple(cols), (g, L, gb)
+
+
+def _extract_one_T(cs, subs, g, L, gb):
+    """One transposed extraction round -> (new columns, [1, rows] int32
+    global winner index). ``subs``: [L, rows] sublane iota."""
+    m = jnp.min(cs[0], axis=0, keepdims=True)              # [1, rows]
+    mb = lax.bitcast_convert_type(m, jnp.int32)
+    lidx = (mb >> gb) & (L - 1)
+    gidx = (mb & (g - 1)) * L + lidx
+    win = subs == lidx
+    cs = list(cs)
+    for j in range(g - 1):
+        cs[j] = jnp.where(win, cs[j + 1], cs[j])
+    cs[g - 1] = jnp.where(win, jnp.float32(_SENTINEL), cs[g - 1])
+    return cs, gidx
+
+
+def topk_stream_next_T(cols, subs, meta, nsteps):
+    """Extract the next ``nsteps`` winners from a transposed stream.
+    Returns ``(new_cols, gidx [nsteps, rows] int32)``."""
+    g, L, gb = meta
+    cs = list(cols)
+    winners = []
+    for _ in range(nsteps):
+        cs, gidx = _extract_one_T(cs, subs, g, L, gb)
+        winners.append(gidx)
+    return tuple(cs), jnp.concatenate(winners, axis=0)
+
+
 def sorted_topk(d, k, g_max=8, unroll=1):
     """[rows, n] f32 (>= 0, finite) -> [rows, k] int32 indices of the k
     smallest per row, as an unordered set (tie/ulp caveats above). Pure

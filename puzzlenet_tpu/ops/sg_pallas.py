@@ -43,7 +43,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .lanered import (sorted_topk, sorted_topk_supported,
-                      topk_stream_init, topk_stream_next, tournament_argmin)
+                      topk_stream_init, topk_stream_next,
+                      topk_stream_init_T, topk_stream_next_T,
+                      tournament_argmin)
 from .pointops import index_points, knn_indices
 
 _S_BLK = 256
@@ -56,6 +58,13 @@ _PIPELINE = True     # software-pipeline selection with the MXU compute:
                      # and independent of the compute chain, so Mosaic can
                      # co-issue them (identical outputs either way)
 _INTERPRET = False   # run the Pallas kernels in interpret mode (CPU tests)
+_LAYOUT_T = False    # transposed selection layout: distance tile held as
+                     # [N, s] so each extraction round min-reduces over the
+                     # SUBLANE axis (vreg-shrinking tree) instead of a
+                     # full-width lane rotate chain, and the one-hot
+                     # gathers contract dim0 x dim0 (the rows_dot form).
+                     # Outputs are bit-identical to the row-major kernel;
+                     # flip only after hardware A/B (see PERFORMANCE.md).
 
 
 def pallas_supported():
@@ -288,6 +297,109 @@ def _sg_kernel_pipe(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
         amax_ref[0] = jnp.zeros(amax_ref.shape[1:], jnp.int32)
 
 
+def _sg_kernel_pipe_T(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
+                      b1_ref, w2_ref, b2_ref, out_ref, idx_ref, amax_ref,
+                      *mask_refs, mmdt=jnp.float32):
+    """Transposed-selection twin of :func:`_sg_kernel_pipe` (_LAYOUT_T).
+
+    The distance tile is built TRANSPOSED ([N, s]) so the extraction
+    stream's per-round reduction runs over the sublane axis
+    (ops/lanered.py topk_stream_*_T — a vreg-shrinking tree instead of a
+    full-width lane rotate chain), and the one-hot gathers are built
+    transposed ([N, kb*s]) and contracted dim0 x dim0 — the same
+    dot_general form the backward's rows_dot uses, natively lowered by
+    Mosaic. Neighbor sets, MLP math and outputs are bit-identical to the
+    row-major kernel; the saved routing indices come out as idxT [k, s]
+    (the backward consumes either layout)."""
+    q = q_ref[0]                      # [s, 3]
+    xyz = xyz_ref[0]                  # [N, 3]
+    feats = feats_ref[0]              # [N, C]
+    w1, b1 = w1_ref[:, :], b1_ref[:, :]
+    w2, b2 = w2_ref[:, :], b2_ref[:, :]
+    s, n = q.shape[0], xyz.shape[0]
+    h1n, h2n = w1.shape[1], w2.shape[1]
+
+    dx = xyz[:, 0:1] - q[:, 0:1].T
+    dy = xyz[:, 1:2] - q[:, 1:2].T
+    dz = xyz[:, 2:3] - q[:, 2:3].T
+    d0T = dx * dx + dy * dy + dz * dz           # [n, s] f32, exact
+
+    subs_n = lax.broadcasted_iota(jnp.int32, (n, s), 0)
+    krows = lax.broadcasted_iota(jnp.int32, (k, s), 0)
+
+    cols, meta = topk_stream_init_T(d0T)
+    subsL = lax.broadcasted_iota(jnp.int32, (meta[1], s), 0)
+    cols, winners = topk_stream_next_T(cols, subsL, meta, kb)
+
+    # gather precision contract identical to the row-major kernel: xyz via
+    # an f32 one-hot contraction and centered in f32; features bf16
+    catf = feats.astype(jnp.bfloat16)
+    qs = jnp.concatenate([q] * kb, axis=0)                   # [kb*s, 3]
+
+    def tdot(ohT, vals, dtype):
+        return lax.dot_general(ohT.astype(dtype), vals.astype(dtype),
+                               dimension_numbers=(((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    def consume_block(k0, winners, idxT_acc, acc, amax, m1, m2):
+        """winners [kb, s]; k0 may be traced (loop) or static (epilogue)."""
+        ohs = []
+        for j in range(kb):
+            sel = winners[j:j + 1]                           # [1, s]
+            if with_masks:
+                idxT_acc = jnp.where(krows == k0 + j, sel, idxT_acc)
+            ohs.append((subs_n == sel).astype(jnp.float32))  # [n, s]
+        ohT = jnp.concatenate(ohs, axis=1)                   # [n, kb*s]
+        nbx = tdot(ohT, xyz, jnp.float32)                    # [kb*s, 3]
+        nbf = tdot(ohT, catf, jnp.bfloat16)                  # [kb*s, C]
+        gk = jnp.concatenate([nbx - qs, nbf], axis=1)
+        a1, a2, hv = _mlp2(gk, w1, b1, w2, b2, mmdt)
+        for j in range(kb):
+            rows = slice(j * s, (j + 1) * s)
+            hj = hv[rows]
+            kj = k0 + j
+            if with_masks:
+                amax = jnp.where(hj > acc, kj, amax)
+                bit = (jnp.uint32(1)
+                       << jnp.asarray(kj, jnp.int32).astype(jnp.uint32))
+                m1 = m1 | jnp.where(a1[rows] > 0, bit, jnp.uint32(0))
+                m2 = m2 | jnp.where(a2[rows] > 0, bit, jnp.uint32(0))
+            acc = jnp.maximum(acc, hj)
+        return idxT_acc, acc, amax, m1, m2
+
+    mask_shape = (s, h1n) if with_masks else (1, 1)
+    mask_shape2 = (s, h2n) if with_masks else (1, 1)
+    init = (cols, winners,
+            jnp.zeros((k, s) if with_masks else (1, 1), jnp.int32),
+            jnp.full((s, h2n), -jnp.inf, jnp.float32),
+            jnp.zeros((s, h2n) if with_masks else (1, 1), jnp.int32),
+            jnp.zeros(mask_shape, jnp.uint32),
+            jnp.zeros(mask_shape2, jnp.uint32))
+
+    def blk_body(blk, carry):
+        cols, winners, idxT_acc, acc, amax, m1, m2 = carry
+        idxT_acc, acc, amax, m1, m2 = consume_block(
+            blk * kb, winners, idxT_acc, acc, amax, m1, m2)
+        cols, winners = topk_stream_next_T(cols, subsL, meta, kb)
+        return (cols, winners, idxT_acc, acc, amax, m1, m2)
+
+    nblk = k // kb
+    _, winners, idxT_acc, acc, amax, m1, m2 = lax.fori_loop(
+        0, nblk - 1, blk_body, init)
+    idxT_acc, acc, amax, m1, m2 = consume_block(
+        (nblk - 1) * kb, winners, idxT_acc, acc, amax, m1, m2)
+
+    out_ref[0] = acc
+    if with_masks:
+        idx_ref[0] = idxT_acc
+        amax_ref[0] = amax
+        mask_refs[0][0] = m1
+        mask_refs[1][0] = m2
+    else:
+        idx_ref[0] = jnp.zeros(idx_ref.shape[1:], jnp.int32)
+        amax_ref[0] = jnp.zeros(amax_ref.shape[1:], jnp.int32)
+
+
 def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k, with_masks,
                    bf16_mm=False):
     """``with_masks=True`` (the under-grad path) additionally emits the
@@ -313,18 +425,23 @@ def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k, with_masks,
     out_shape = [
         jax.ShapeDtypeStruct((B, S, H2), jnp.float32),
     ]
+    layout_t = _LAYOUT_T and _PIPELINE and sorted_topk_supported(N)
     if with_masks:
         # idx/amax are backward-routing artifacts: full-size only under
         # grad; the no-grad primal gets (1, 1, 1) dummies and the kernels
         # skip the tracking compute + HBM writes (~21 MB/call at stage 1)
+        # (transposed layout saves idx as [B, k, S] — see _sg_kernel_pipe_T)
         out_specs += [
+            pl.BlockSpec((1, k, s_blk), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM) if layout_t else
             pl.BlockSpec((1, s_blk, k), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s_blk, H2), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ]
         out_shape += [
-            jax.ShapeDtypeStruct((B, S, k), jnp.int32),
+            jax.ShapeDtypeStruct((B, k, S) if layout_t else (B, S, k),
+                                 jnp.int32),
             jax.ShapeDtypeStruct((B, S, H2), jnp.int32),
         ]
     else:
@@ -352,8 +469,12 @@ def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k, with_masks,
             jax.ShapeDtypeStruct((B, S, H2), jnp.uint32),
         ]
 
-    kernel = (_sg_kernel_pipe if _PIPELINE and sorted_topk_supported(N)
-              else _sg_kernel)
+    if layout_t:
+        kernel = _sg_kernel_pipe_T
+    elif _PIPELINE and sorted_topk_supported(N):
+        kernel = _sg_kernel_pipe
+    else:
+        kernel = _sg_kernel
     mmdt = jnp.bfloat16 if bf16_mm else jnp.float32
     res = pl.pallas_call(
         functools.partial(kernel, k, _neighbor_block(k), with_masks,
@@ -384,8 +505,8 @@ def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k, with_masks,
     return res
 
 
-def _sg_bwd_kernel(k, kb, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
-                   w2_ref, idx_ref, amax_ref, m1_ref, m2_ref,
+def _sg_bwd_kernel(k, kb, layout_t, q_ref, xyz_ref, feats_ref, w1_ref,
+                   b1_ref, w2_ref, idx_ref, amax_ref, m1_ref, m2_ref,
                    g_ref, dq_ref, dcat_ref, dw1_ref, db1_ref, dw2_ref,
                    db2_ref, mmdt=jnp.float32):
     """Backward of the fused stage. Gradient routing is fully determined
@@ -404,15 +525,19 @@ def _sg_bwd_kernel(k, kb, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
     feats = feats_ref[0]
     w1, b1 = w1_ref[:, :], b1_ref[:, :]
     w2 = w2_ref[:, :]        # b2 is NOT an input: a2 is never recomputed
-    idxmat = idx_ref[0]                    # [s, K]
+    idxmat = idx_ref[0]                    # [s, K] ([K, s] if layout_t)
     amax = amax_ref[0]                     # [s, H2] argmax neighbor index
     m1 = m1_ref[0]                         # [s, H]  relu-support bits
     m2 = m2_ref[0]                         # [s, H2]
     g = g_ref[0]                           # [s, H2]
     s, n = q.shape[0], xyz.shape[0]
 
-    lane = lax.broadcasted_iota(jnp.int32, (s, n), 1)
-    kcols = lax.broadcasted_iota(jnp.int32, (s, k), 1)
+    if layout_t:
+        subs_n = lax.broadcasted_iota(jnp.int32, (n, s), 0)
+        krows = lax.broadcasted_iota(jnp.int32, (k, s), 0)
+    else:
+        lane = lax.broadcasted_iota(jnp.int32, (s, n), 1)
+        kcols = lax.broadcasted_iota(jnp.int32, (s, k), 1)
     catf = feats.astype(jnp.bfloat16)   # xyz gathers in f32 — see fwd
     qs = jnp.concatenate([q] * kb, axis=0)
 
@@ -436,12 +561,29 @@ def _sg_bwd_kernel(k, kb, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
     def stack_k(build):
         return jnp.concatenate([build(j) for j in range(kb)], axis=0)
 
+    def tdot(ohT, vals, dtype):
+        return lax.dot_general(ohT.astype(dtype), vals.astype(dtype),
+                               dimension_numbers=(((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
     def blk_body(blk, carry):
         dq, dcat, dw1, db1, dw2, db2 = carry
         k0 = blk * kb
-        oh = _onehots(idxmat, kcols, lane, k0, kb, jnp.float32)
-        nbx = _dot(oh, xyz)                              # [kb*s, 3]
-        nbf = _dot(oh.astype(jnp.bfloat16), catf)        # [kb*s, C]
+        if layout_t:
+            # transposed one-hots + dim0 x dim0 contractions (see
+            # _sg_kernel_pipe_T); same gather values, same rounding
+            ohs = []
+            for jj in range(kb):
+                sel = jnp.sum(jnp.where(krows == k0 + jj, idxmat, 0),
+                              axis=0, keepdims=True)       # [1, s]
+                ohs.append((subs_n == sel).astype(jnp.float32))
+            oh = jnp.concatenate(ohs, axis=1)              # [n, kb*s]
+            nbx = tdot(oh, xyz, jnp.float32)               # [kb*s, 3]
+            nbf = tdot(oh, catf, jnp.bfloat16)             # [kb*s, C]
+        else:
+            oh = _onehots(idxmat, kcols, lane, k0, kb, jnp.float32)
+            nbx = _dot(oh, xyz)                            # [kb*s, 3]
+            nbf = _dot(oh.astype(jnp.bfloat16), catf)      # [kb*s, C]
         gk = jnp.concatenate([nbx - qs, nbf], axis=1)
         a1 = _dot(gk.astype(mmdt), w1.astype(mmdt)) + b1
         bit1 = stack_k(lambda jj: ((m1 >> (k0 + jj).astype(jnp.uint32))
@@ -464,7 +606,13 @@ def _sg_bwd_kernel(k, kb, q_ref, xyz_ref, feats_ref, w1_ref, b1_ref,
                               preferred_element_type=jnp.float32)
         for jj in range(kb):
             dq = dq - dgk[jj * s:(jj + 1) * s, :3]
-        dcat = dcat + rows_dot(oh, dgk)                  # [n, c_in]
+        if layout_t:
+            dcat = dcat + lax.dot_general(                # [n, c_in]
+                oh.astype(mmdt), dgk.astype(mmdt),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            dcat = dcat + rows_dot(oh, dgk)              # [n, c_in]
         return dq, dcat, dw1, db1, dw2, db2
 
     dq, dcat, dw1, db1, dw2, db2 = lax.fori_loop(
@@ -490,12 +638,16 @@ def _fused_backward(new_xyz, xyz, feats, w1, b1, w2, b2, idx, amax,
     N, C = feats.shape[1], feats.shape[2]
     c_in, H = w1.shape
     H2 = w2.shape[1]
-    k = idx.shape[-1]
+    # idx layout follows the forward kernel that saved it ([B, S, k]
+    # row-major, [B, k, S] transposed) — same condition as _fused_forward
+    # (module flags are stable within one fwd+bwd trace)
+    layout_t = _LAYOUT_T and _PIPELINE and sorted_topk_supported(N)
+    k = idx.shape[1] if layout_t else idx.shape[2]
     s_blk = min(_S_BLK, S)
     grid = (B, S // s_blk)
 
     dq, dcat, dw1, db1, dw2, db2 = pl.pallas_call(
-        functools.partial(_sg_bwd_kernel, k, _neighbor_block(k),
+        functools.partial(_sg_bwd_kernel, k, _neighbor_block(k), layout_t,
                           mmdt=jnp.bfloat16 if bf16_mm else jnp.float32),
         grid=grid,
         in_specs=[
@@ -511,6 +663,8 @@ def _fused_backward(new_xyz, xyz, feats, w1, b1, w2, b2, idx, amax,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H2), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, s_blk), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM) if layout_t else
             pl.BlockSpec((1, s_blk, k), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s_blk, H2), lambda i, j: (i, j, 0),

@@ -159,6 +159,59 @@ class TestKernelInterpret:
             assert lean[2].shape == (1, 8, 128)
 
 
+    def test_transposed_layout_matches_row_major(self, interpret_mode,
+                                                 monkeypatch):
+        """_LAYOUT_T (transposed selection + dim0 x dim0 one-hot gathers)
+        must reproduce the row-major pipe kernel exactly: stage output,
+        argmax and relu-support masks bit-identical, the saved idx the
+        same neighbor sets transposed."""
+        args = self._kargs(3)
+        monkeypatch.setattr(sg, "_PIPELINE", True)
+        monkeypatch.setattr(sg, "_LAYOUT_T", False)
+        row = sg._fused_forward(*args, 32, with_masks=True)
+        monkeypatch.setattr(sg, "_LAYOUT_T", True)
+        tr = sg._fused_forward(*args, 32, with_masks=True)
+        for i, name in ((0, "out"), (2, "amax"), (3, "m1"), (4, "m2")):
+            np.testing.assert_array_equal(np.asarray(row[i]),
+                                          np.asarray(tr[i]), err_msg=name)
+        idx_row = np.sort(np.asarray(row[1]), axis=2)          # [B, S, k]
+        idx_tr = np.sort(np.swapaxes(np.asarray(tr[1]), 1, 2), axis=2)
+        np.testing.assert_array_equal(idx_row, idx_tr, err_msg="idx sets")
+
+    def test_transposed_layout_grads(self, interpret_mode, monkeypatch):
+        """Full VJP through the transposed kernels vs the row-major ones:
+        same routing (saved masks/indices match), so gradients agree to
+        accumulation-order tolerance."""
+        args = self._kargs(4)
+
+        def loss(w1, feats):
+            q, xyz, _, _, b1, w2, b2 = args
+            return jnp.sum(
+                fused_set_abstraction(q, xyz, feats, w1, b1, w2, b2,
+                                      32) ** 2)
+
+        monkeypatch.setattr(sg, "_PIPELINE", True)
+        monkeypatch.setattr(sg, "_LAYOUT_T", False)
+        g_row = jax.grad(loss, argnums=(0, 1))(args[3], args[2])
+        monkeypatch.setattr(sg, "_LAYOUT_T", True)
+        g_tr = jax.grad(loss, argnums=(0, 1))(args[3], args[2])
+        for a, b, name in zip(g_row, g_tr, ("dw1", "dfeats")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5, err_msg=name)
+
+    def test_transposed_nograd_primal(self, interpret_mode, monkeypatch):
+        """The serving primal under _LAYOUT_T: same stage output, dummy
+        artifacts."""
+        args = self._kargs(3)
+        monkeypatch.setattr(sg, "_PIPELINE", True)
+        monkeypatch.setattr(sg, "_LAYOUT_T", True)
+        full = sg._fused_forward(*args, 32, with_masks=True)
+        lean = sg._fused_forward(*args, 32, with_masks=False)
+        np.testing.assert_array_equal(np.asarray(full[0]),
+                                      np.asarray(lean[0]))
+        assert lean[1].shape == (1, 8, 128)
+
+
 def _direct_k(q, xyz, feats, w1, b1, w2, b2, k):
     idx = knn_indices(q, xyz, k)
     return _mlp_max_from_idx(q, xyz, feats, w1, b1, w2, b2, idx)
