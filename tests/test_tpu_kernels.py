@@ -123,6 +123,89 @@ class TestPallasSG:
         assert abs(fd - an) / max(abs(fd), 1e-6) < 0.1, (fd, an)
 
 
+class TestPallasSGLayoutT:
+    """Hardware twin of tests/test_sg_fused.py's transposed-layout parity:
+    _LAYOUT_T claims bit-identical outputs to the row-major kernel, and
+    the transposed stream repeats the mantissa-id packing — the denormal
+    FTZ class of bug (CLAUDE.md invariant) only shows on real hardware."""
+
+    def _kargs(self, seed=0):
+        rng = np.random.default_rng(seed)
+        b, s, n, c = 2, 512, 1024, 64
+        xyz = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))
+        q = xyz[:, :s]
+        feats = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+        w1 = jnp.asarray(rng.normal(size=(c + 3, 128)).astype(np.float32)
+                         * 0.3)
+        b1 = jnp.asarray(rng.normal(size=(128,)).astype(np.float32) * 0.1)
+        w2 = jnp.asarray(rng.normal(size=(128, 128)).astype(np.float32)
+                         * 0.3)
+        b2 = jnp.asarray(rng.normal(size=(128,)).astype(np.float32) * 0.1)
+        return q, xyz, feats, w1, b1, w2, b2
+
+    def test_forward_matches_row_major_hw(self, monkeypatch):
+        from puzzlenet_tpu.ops import sg_pallas as sg
+
+        args = self._kargs(11)
+        monkeypatch.setattr(sg, "_PIPELINE", True)
+        monkeypatch.setattr(sg, "_LAYOUT_T", False)
+        row = sg._fused_forward(*args, 32, with_masks=True)
+        monkeypatch.setattr(sg, "_LAYOUT_T", True)
+        tr = sg._fused_forward(*args, 32, with_masks=True)
+        for i, name in ((0, "out"), (2, "amax"), (3, "m1"), (4, "m2")):
+            np.testing.assert_array_equal(np.asarray(row[i]),
+                                          np.asarray(tr[i]), err_msg=name)
+        idx_row = np.sort(np.asarray(row[1]), axis=2)
+        idx_tr = np.sort(np.swapaxes(np.asarray(tr[1]), 1, 2), axis=2)
+        np.testing.assert_array_equal(idx_row, idx_tr, err_msg="idx sets")
+
+    def test_grads_match_row_major_hw(self, monkeypatch):
+        from puzzlenet_tpu.ops import sg_pallas as sg
+
+        args = self._kargs(12)
+
+        def loss(w1, feats):
+            q, xyz, _, _, b1, w2, b2 = args
+            return jnp.sum(sg.fused_set_abstraction(
+                q, xyz, feats, w1, b1, w2, b2, 32) ** 2)
+
+        monkeypatch.setattr(sg, "_PIPELINE", True)
+        monkeypatch.setattr(sg, "_LAYOUT_T", False)
+        g_row = jax.grad(loss, argnums=(0, 1))(args[3], args[2])
+        monkeypatch.setattr(sg, "_LAYOUT_T", True)
+        g_tr = jax.grad(loss, argnums=(0, 1))(args[3], args[2])
+        for a, b, name in zip(g_row, g_tr, ("dw1", "dfeats")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4, err_msg=name)
+
+    def test_coincident_points_hw(self, monkeypatch):
+        """Duplicate points force zero distances in the packed selection
+        stream — the FTZ trap. The transposed kernel must still select k
+        distinct indices and produce finite outputs."""
+        from puzzlenet_tpu.ops import sg_pallas as sg
+
+        rng = np.random.default_rng(13)
+        b, s, n, c = 1, 256, 512, 64
+        base = rng.normal(size=(b, n // 2, 3)).astype(np.float32)
+        xyz = jnp.asarray(np.concatenate([base, base], axis=1))
+        q = xyz[:, :s]
+        feats = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+        w1 = jnp.asarray(rng.normal(size=(c + 3, 128)).astype(np.float32)
+                         * 0.3)
+        b1 = jnp.zeros(128)
+        w2 = jnp.asarray(rng.normal(size=(128, 128)).astype(np.float32)
+                         * 0.3)
+        b2 = jnp.zeros(128)
+        monkeypatch.setattr(sg, "_PIPELINE", True)
+        monkeypatch.setattr(sg, "_LAYOUT_T", True)
+        out, idx, amax, m1, m2 = sg._fused_forward(
+            q, xyz, feats, w1, b1, w2, b2, 32, with_masks=True)
+        assert np.isfinite(np.asarray(out)).all()
+        idx = np.asarray(idx)                                  # [B, k, S]
+        for r in range(idx.shape[2]):
+            assert len(set(idx[0, :, r].tolist())) == idx.shape[1], r
+
+
 class TestSortedTopkNearTies:
     """sorted_topk packs chunk + lane ids into the low mantissa bits of
     the squared distances, so two DISTINCT points whose distances differ
