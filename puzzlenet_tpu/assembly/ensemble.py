@@ -103,13 +103,14 @@ def _tree_swaps(k, tree, weight):
     return out
 
 
-def _verify(k, mats_rn, scores_rn, pos, wa=1.0, wt=1.0, ws=10.0):
-    """Attachment cost of a posed hypothesis from its re-measurement:
-    mean over pieces of the best available partner's
+def _verify_per_piece(k, mats_rn, scores_rn, pos, wa=1.0, wt=1.0, ws=10.0):
+    """Per-piece attachment cost of a posed hypothesis from its
+    re-measurement: for each piece, the best available partner's
     ``wa * |rot residual| (rad) + wt * |t residual| + ws * fit score``
     (both orderings considered). Lower is better; a piece with no
-    near-identity low-score partner anywhere drags the mean up."""
-    total = 0.0
+    near-identity low-score partner anywhere gets a high cost — the
+    repair loop targets exactly that piece."""
+    out = []
     for i in range(k):
         best = np.inf
         for j in range(k):
@@ -123,8 +124,14 @@ def _verify(k, mats_rn, scores_rn, pos, wa=1.0, wt=1.0, ws=10.0):
                 tn = float(np.linalg.norm(M[:3, 3]))
                 v = wa * ang + wt * tn + ws * float(scores_rn[p])
                 best = min(best, v)
-        total += best
-    return total / k
+        out.append(best)
+    return out
+
+
+def _verify(k, mats_rn, scores_rn, pos, wa=1.0, wt=1.0, ws=10.0):
+    """Mean per-piece attachment cost (see _verify_per_piece)."""
+    return float(np.mean(_verify_per_piece(k, mats_rn, scores_rn, pos,
+                                           wa, wt, ws)))
 
 
 def _edges_from_selection(kept, mats_np):
@@ -143,7 +150,8 @@ def ensemble_assemble(model, variables, pieces, num_points=None,
                       irls_iters=2, final_sync=True,
                       verify_weights=(1.0, 1.0, 10.0),
                       refine_iters=0, icp_iters=0, polish_iters=0,
-                      include_greedy=False):
+                      include_greedy=False, repair_iters=0,
+                      repair_candidates=3):
     """Assemble K fragments by verified hypothesis ensembling (module
     docstring). Same contract as the other assemblers: fragments
     [K, N, 3] (or list of [N, 3]) sharing N; result expressed in the
@@ -161,6 +169,19 @@ def ensemble_assemble(model, variables, pieces, num_points=None,
     accretion-greedy assembler's poses as a hypothesis (costs K-1 extra
     merge rounds through greedy's own compile-stable programs; the
     verified union can only beat either algorithm alone).
+
+    ``repair_iters``: verification-guided worst-piece repair — per
+    iteration, take the piece with the highest per-piece attachment
+    cost in the winner's re-measurement, propose new absolute poses for
+    it from its ``repair_candidates`` most reliable (lowest re-measured
+    fit score) partner edges (the posed correction left-composed onto
+    the current pose; both orderings), and keep the best proposal only
+    if the whole hypothesis re-verifies strictly better. One scoring
+    forward per proposal, all through the shared compiled program;
+    stops early when no proposal improves. Targets the K >= 6 failure
+    mode where a single mis-posed piece sinks an otherwise-correct
+    assembly but the global re-solve (final_sync) averages its error
+    into every piece instead of isolating it.
 
     Returns ``AssemblyResult`` with ``merge_order`` = the winning
     hypothesis's edge set (tree edges for mst/swap/greedy hypotheses,
@@ -261,6 +282,47 @@ def ensemble_assemble(model, variables, pieces, num_points=None,
         if v2 < v:
             v, name, tree, poses = v2, name + "+sync", sorted(kept), poses2
             mats_rn, scores_rn, tops = m2, s2, t2
+
+    repaired = False
+    for _ in range(repair_iters):
+        if k < 3:
+            break
+        per = _verify_per_piece(k, mats_rn, scores_rn, pos, wa, wt, ws)
+        w_piece = int(np.argmax(per))
+        # proposals: corrections from the worst piece's most reliable
+        # partner edges in the CURRENT re-measurement. corr maps the
+        # posed moved slot onto the posed fixed slot, so with w moved
+        # the repaired absolute pose is corr @ pose_w; with w fixed,
+        # keeping the partner in place and moving the pair rigidly back
+        # gives inv(corr) @ pose_w.
+        cands = []
+        for j in range(k):
+            if j == w_piece:
+                continue
+            p_mv = pos[(j, w_piece)]
+            cands.append((float(scores_rn[p_mv]),
+                          mats_rn[p_mv] @ poses[w_piece]))
+            p_fx = pos[(w_piece, j)]
+            cands.append((float(scores_rn[p_fx]),
+                          np.linalg.inv(mats_rn[p_fx]) @ poses[w_piece]))
+        cands.sort(key=lambda c: c[0])
+        best_try = None
+        for _, new_pose in cands[:repair_candidates]:
+            poses_try = list(poses)
+            poses_try[w_piece] = new_pose.astype(np.float32)
+            m4, s4, v4, t4 = measure(poses_try)
+            if best_try is None or v4 < best_try[0]:
+                best_try = (v4, poses_try, m4, s4, t4)
+        if best_try is None or best_try[0] >= v:
+            break
+        v, poses, mats_rn, scores_rn, tops = best_try
+        repaired = True
+    if repaired:
+        name += "+repair"
+        # repairs may have moved piece 0 — restore the anchor gauge (a
+        # global rigid motion; verification scores are invariant to it)
+        g0 = np.linalg.inv(poses[0]).astype(np.float32)
+        poses = [(g0 @ p).astype(np.float32) for p in poses]
 
     if polish_iters:
         # joint boundary-contact polish of the winner (assembly/polish.py)

@@ -114,12 +114,21 @@ def _fallback_plane(cloud, valid):
     return (proj >= med) & valid
 
 
-def _partition(key, cloud, cut, npoint, valid=None):
-    """Partition the valid points of one cloud: returns (up_mask, ok)."""
+def _partition(key, cloud, cut, npoint, valid=None, fallback=True):
+    """Partition the valid points of one cloud: returns (up_mask, ok).
+
+    ``fallback=False`` skips the centroid-plane fallback (a full
+    nanmedian sort over M points): callers whose downstream logic
+    discards the mask whenever ``ok`` is False (_precut_valid's skipped
+    rounds, _twice_masks' use_single path) never consume the fallback,
+    so computing it is pure dead weight — ~3 dead [M]-sorts per cloud
+    per batch at --frag_cuts 3."""
     if valid is None:
         valid = jnp.ones(cloud.shape[0], bool)
     masks = _candidate_masks(key, cloud, cut)
     up, ok = _select_partition(masks, valid, npoint)
+    if not fallback:
+        return up, ok
     fb = _fallback_plane(cloud, valid)
     return jnp.where(ok, up, fb), ok
 
@@ -142,7 +151,7 @@ def _precut_valid(key, cloud, cut, npoint, frag_cuts):
     r = jax.random.randint(ks[0], (), 0, frag_cuts + 1)
     for i in range(frag_cuts):
         up, ok = _partition(ks[2 * i + 1], cloud, cut, 2 * npoint,
-                            valid=valid)
+                            valid=valid, fallback=False)
         keep_up = jax.random.bernoulli(ks[2 * i + 2])
         side = jnp.where(keep_up, up, valid & ~up)
         ok = ok & (jnp.sum(side) >= 2 * npoint) & (i < r)
@@ -196,7 +205,11 @@ def _twice_masks(ks, cloud, cut, npoint):
     target = jnp.where(target_is_up, first_up, ~first_up)
     other = ~target
 
-    sub1, ok2 = _partition(ks[2], cloud, cut, npoint, valid=target)
+    # fallback=False: when ok2 is False, use_single routes to the
+    # single-cut pair and sub1/sub2 are discarded — the fallback mask
+    # would be dead weight (see _partition)
+    sub1, ok2 = _partition(ks[2], cloud, cut, npoint, valid=target,
+                           fallback=False)
     sub2 = target & ~sub1
 
     se = jax.random.randint(ks[3], (), 0, 3)

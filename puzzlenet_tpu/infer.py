@@ -211,7 +211,7 @@ class Session:
 
     def assemble(self, pieces, pad_to=8, refine_iters=0, icp_iters=0,
                  algo="spanning", sync_iters=0, grow=False,
-                 polish_iters=0, include_greedy=False):
+                 polish_iters=0, include_greedy=False, repair_iters=0):
         """Multi-piece reassembly with this session's weights.
 
         ``algo``: ``"spanning"`` (pose-graph over the pair-score minimum
@@ -229,7 +229,9 @@ class Session:
         ``sync_iters`` (sync only): iterative re-measurement rounds on
         the posed stack. ``grow`` (greedy only): accretion mode.
         ``polish_iters`` (sync/ensemble): joint boundary-contact pose
-        polish over the kept measurement graph (assembly/polish.py)."""
+        polish over the kept measurement graph (assembly/polish.py).
+        ``repair_iters`` (ensemble only): verification-guided
+        worst-piece repair iterations (assembly/ensemble.py)."""
         from .assembly import (ensemble_assemble, greedy_assemble,
                                spanning_assemble, sync_assemble)
 
@@ -253,6 +255,10 @@ class Session:
             if algo != "ensemble":
                 raise ValueError("include_greedy requires algo='ensemble'")
             kw["include_greedy"] = True
+        if repair_iters:
+            if algo != "ensemble":
+                raise ValueError("repair_iters requires algo='ensemble'")
+            kw["repair_iters"] = repair_iters
         return fn(self.model, self.variables, pieces,
                   num_points=self.num_points, pad_to=pad_to or None,
                   refine_iters=refine_iters, icp_iters=icp_iters, **kw)

@@ -416,6 +416,42 @@ class TestAssembly:
                  + spanning._union_fps_jit._cache_size())
         assert after == base
 
+    def test_ensemble_repair_iters(self, model_and_pieces):
+        """Worst-piece repair keeps the assembler contract (anchor
+        identity after re-gauging, rigid poses) and never degrades the
+        verification cost (strictly-better acceptance)."""
+        from puzzlenet_tpu.assembly import ensemble_assemble
+
+        model, variables, pieces = model_and_pieces
+        base = ensemble_assemble(model, variables, pieces, num_points=N)
+        r = ensemble_assemble(model, variables, pieces, num_points=N,
+                              repair_iters=3)
+        np.testing.assert_allclose(r.piece_transforms[0], np.eye(4),
+                                   atol=1e-4)
+        for t in r.piece_transforms:
+            R = t[:3, :3]
+            np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-4)
+            assert np.linalg.det(R) > 0.9
+        assert r.scores[0] <= base.scores[0] + 1e-6
+
+    def test_ensemble_repair_compile_stable(self, model_and_pieces):
+        """Repair proposals reuse the shared posed-scoring program — no
+        new compilations."""
+        from puzzlenet_tpu.assembly import ensemble_assemble, spanning
+        from puzzlenet_tpu.assembly import sync as sync_mod
+
+        model, variables, pieces = model_and_pieces
+        ensemble_assemble(model, variables, pieces, pad_to=4)
+        base = (spanning._score_all_jit._cache_size()
+                + sync_mod._pose_stack_jit._cache_size()
+                + spanning._union_fps_jit._cache_size())
+        ensemble_assemble(model, variables, pieces, pad_to=4,
+                          repair_iters=2)
+        after = (spanning._score_all_jit._cache_size()
+                 + sync_mod._pose_stack_jit._cache_size()
+                 + spanning._union_fps_jit._cache_size())
+        assert after == base
+
     def test_ensemble_rejects_edge_polish_knobs(self, model_and_pieces):
         from puzzlenet_tpu.assembly import ensemble_assemble
 

@@ -125,6 +125,9 @@ def main(argv=None):
     p.add_argument("--polish_iters", type=int, default=0,
                    help="sync/ensemble: joint boundary-contact pose "
                         "polish steps (assembly/polish.py)")
+    p.add_argument("--repair_iters", type=int, default=0,
+                   help="ensemble only: verification-guided worst-piece "
+                        "repair iterations (assembly/ensemble.py)")
     p.add_argument("--ensemble_greedy", action="store_true",
                    help="ensemble only: also verify the accretion-greedy "
                         "poses as a hypothesis")
@@ -164,6 +167,11 @@ def main(argv=None):
         if args.algo != "ensemble":
             p.error("--ensemble_greedy requires --algo ensemble")
         assemble = functools.partial(assemble, include_greedy=True)
+    if args.repair_iters:
+        if args.algo != "ensemble":
+            p.error("--repair_iters requires --algo ensemble")
+        assemble = functools.partial(assemble,
+                                     repair_iters=args.repair_iters)
 
     # warmup: compile the padded-8 program pair once (K=k_max slots)
     cloud, scattered, _ = one_problem(family, 0, args.k_min,
@@ -243,6 +251,7 @@ def main(argv=None):
                        "refine_iters": args.refine_iters,
                        "icp_iters": args.icp_iters,
                        "sync_iters": args.sync_iters,
+                       "repair_iters": args.repair_iters,
                        "keep_frac": args.keep_frac,
                        "grow": args.grow, "rows": rows}, f,
                       indent=2)
