@@ -41,9 +41,22 @@ def data_dir():
     return os.environ.get("PUZZLENET_DATA_DIR", "data")
 
 
+def _building_payloads_present():
+    p = os.path.join(data_dir(), "buildings_f_train1024.npy")
+    return os.path.exists(p) and not _is_lfs_stub(p)
+
+
 def supports_device_pipeline(category):
     """True for slicer categories that can train through the on-device
-    data pipeline (whole-cloud stack + in-jit cut/FPS/boundary/twist)."""
+    data pipeline (whole-cloud stack + in-jit cut/FPS/boundary/twist).
+
+    'fr' qualifies only while its real DublinCity payloads are absent:
+    the real category is PRE-SPLIT facade/roof pairs (no slicing,
+    dataset.py:1370-1429, host path only), but its synthetic substitute
+    is a plane-sliced blob family (get_dataset) — exactly the pipeline's
+    input format."""
+    if category == "fr":
+        return not _building_payloads_present()
     return category in _NAMES
 
 
@@ -62,9 +75,12 @@ def category_clouds(category, synth_count=64, split="train"):
     random subset so the stack is rectangular; masked FPS to npoint then
     happens on device) — the input format of
     data/device_pipeline.make_batch."""
-    if category not in _NAMES:
+    if category == "fr" and supports_device_pipeline("fr"):
+        name, family = "buildings.npy", "blob"   # synthetic substitute
+    elif category not in _NAMES:
         raise ValueError(f"no whole-cloud stack for category {category!r}")
-    name, family, _ = _NAMES[category]
+    else:
+        name, family, _ = _NAMES[category]
     if split == "test":
         clouds = _load_clouds(name.replace("_train", "_test"), family,
                               max(synth_count // 4, 8), seed=10_000)
@@ -126,7 +142,8 @@ def get_dataset(category, random=False, random_slice=False, synth_count=64,
             # a git-LFS pointer stub reaches np.load and raises it — the
             # same missing-payload situation as an absent file
             tr, va, te = _sliced_triple("buildings.npy", "blob", plane_split,
-                                        False, synth_count)
+                                        False, synth_count,
+                                        num_points=num_points)
     elif category == "bbv":
         from .breaking import BreakingDataset
         tr = BreakingDataset(mode="train")

@@ -490,3 +490,22 @@ class TestMakeDatasetTool:
         from puzzlenet_tpu.data.registry import category_clouds
         clouds = category_clouds("vaser", split="train")
         assert clouds.shape[0] == 2 and clouds.shape[2] == 3
+
+    def test_fr_device_pipeline_synthetic_only(self, tmp_path, monkeypatch):
+        """'fr' trains through the device pipeline only while its real
+        (pre-split facade/roof) payloads are absent — the synthetic
+        substitute is a plane-sliced blob family; real payloads force
+        the host pair path."""
+        from puzzlenet_tpu.data import registry
+
+        monkeypatch.setenv("PUZZLENET_DATA_DIR", str(tmp_path))
+        assert registry.supports_device_pipeline("fr")
+        tr = registry.category_clouds("fr", synth_count=4)
+        te = registry.category_clouds("fr", synth_count=4, split="test")
+        assert tr.ndim == 3 and tr.shape[2] == 3
+        assert not np.allclose(tr[0, :4], te[0, :4])
+        assert registry.category_cut("fr") == "plane"
+
+        np.save(tmp_path / "buildings_f_train1024.npy",
+                np.zeros((4, 1024, 3), np.float32))
+        assert not registry.supports_device_pipeline("fr")
