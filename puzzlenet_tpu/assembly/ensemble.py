@@ -251,16 +251,15 @@ def ensemble_assemble(model, variables, pieces, num_points=None,
         mats_rn = np.asarray(mats_r)
         scores_rn = np.asarray(scores_r)
         # tops stay on device: only the polish path ever reads them
-        return (mats_rn, scores_rn,
-                _verify(k, mats_rn, scores_rn, pos, wa, wt, ws),
-                (tf_r, tm_r))
+        per = _verify_per_piece(k, mats_rn, scores_rn, pos, wa, wt, ws)
+        return (mats_rn, scores_rn, float(np.mean(per)), (tf_r, tm_r), per)
 
     best = None
     for name, tree, poses in uniq:
-        mats_rn, scores_rn, v, tops = measure(poses)
+        mats_rn, scores_rn, v, tops, per = measure(poses)
         if best is None or v < best[0]:
-            best = (v, name, tree, poses, mats_rn, scores_rn, tops)
-    v, name, tree, poses, mats_rn, scores_rn, tops = best
+            best = (v, name, tree, poses, mats_rn, scores_rn, tops, per)
+    v, name, tree, poses, mats_rn, scores_rn, tops, per = best
 
     if final_sync:
         # sync_iters update from the winner's (already measured) posed
@@ -278,16 +277,15 @@ def ensemble_assemble(model, variables, pieces, num_points=None,
             edges.append((i, j, m.astype(np.float32),
                           1.0 / (float(s) + 1e-3)))
         poses2 = synchronize_poses(k, edges, irls_iters=irls_iters)
-        m2, s2, v2, t2 = measure(poses2)
+        m2, s2, v2, t2, p2 = measure(poses2)
         if v2 < v:
             v, name, tree, poses = v2, name + "+sync", sorted(kept), poses2
-            mats_rn, scores_rn, tops = m2, s2, t2
+            mats_rn, scores_rn, tops, per = m2, s2, t2, p2
 
     repaired = False
     for _ in range(repair_iters):
         if k < 3:
             break
-        per = _verify_per_piece(k, mats_rn, scores_rn, pos, wa, wt, ws)
         w_piece = int(np.argmax(per))
         # proposals: corrections from the worst piece's most reliable
         # partner edges in the CURRENT re-measurement. corr maps the
@@ -310,19 +308,26 @@ def ensemble_assemble(model, variables, pieces, num_points=None,
         for _, new_pose in cands[:repair_candidates]:
             poses_try = list(poses)
             poses_try[w_piece] = new_pose.astype(np.float32)
-            m4, s4, v4, t4 = measure(poses_try)
+            m4, s4, v4, t4, p4 = measure(poses_try)
             if best_try is None or v4 < best_try[0]:
-                best_try = (v4, poses_try, m4, s4, t4)
+                best_try = (v4, poses_try, m4, s4, t4, p4)
         if best_try is None or best_try[0] >= v:
             break
-        v, poses, mats_rn, scores_rn, tops = best_try
+        v, poses, mats_rn, scores_rn, tops, per = best_try
         repaired = True
     if repaired:
         name += "+repair"
-        # repairs may have moved piece 0 — restore the anchor gauge (a
-        # global rigid motion; verification scores are invariant to it)
-        g0 = np.linalg.inv(poses[0]).astype(np.float32)
-        poses = [(g0 @ p).astype(np.float32) for p in poses]
+        if not np.allclose(poses[0], eye, atol=1e-6):
+            # piece 0 itself was repaired — restore the anchor gauge and
+            # RE-MEASURE: the pairwise net consumes ABSOLUTE posed
+            # coordinates (it is not rigid-invariant; --global_pose
+            # training only randomizes over placement), so the reported
+            # v and any later polish comparison must refer to the poses
+            # actually returned. Non-anchor repairs never move piece 0
+            # and skip the extra forward.
+            g0 = np.linalg.inv(poses[0]).astype(np.float32)
+            poses = [(g0 @ p).astype(np.float32) for p in poses]
+            mats_rn, scores_rn, v, tops, per = measure(poses)
 
     if polish_iters:
         # joint boundary-contact polish of the winner (assembly/polish.py)
@@ -334,7 +339,7 @@ def ensemble_assemble(model, variables, pieces, num_points=None,
         poses3 = polish_poses(np.asarray(stack), list(poses), kept_p,
                               np.asarray(tops[0]), np.asarray(tops[1]),
                               iters=polish_iters)
-        _, _, v3, _ = measure(poses3)
+        _, _, v3, _, _ = measure(poses3)
         if v3 < v:
             v, name, poses = v3, name + "+polish", poses3
 

@@ -76,7 +76,11 @@ def category_clouds(category, synth_count=64, split="train"):
     happens on device) — the input format of
     data/device_pipeline.make_batch."""
     if category == "fr" and supports_device_pipeline("fr"):
-        name, family = "buildings.npy", "blob"   # synthetic substitute
+        # synthetic substitute; _train in the name so the test split
+        # resolves to a DIFFERENT payload (buildings_test.npy) if real
+        # whole-cloud files are ever supplied — a split-invariant name
+        # would silently evaluate on the training clouds
+        name, family = "buildings_train.npy", "blob"
     elif category not in _NAMES:
         raise ValueError(f"no whole-cloud stack for category {category!r}")
     else:
@@ -141,8 +145,11 @@ def get_dataset(category, random=False, random_slice=False, synth_count=64,
             # synthetic substitute: plane-split blob clouds. ValueError:
             # a git-LFS pointer stub reaches np.load and raises it — the
             # same missing-payload situation as an absent file
-            tr, va, te = _sliced_triple("buildings.npy", "blob", plane_split,
-                                        False, synth_count,
+            # _train in the name: _sliced_triple derives the test payload
+            # via _train -> _test, a split-invariant name would leak the
+            # training clouds into the test split
+            tr, va, te = _sliced_triple("buildings_train.npy", "blob",
+                                        plane_split, False, synth_count,
                                         num_points=num_points)
     elif category == "bbv":
         from .breaking import BreakingDataset
