@@ -36,6 +36,10 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="evaluate with bfloat16 serving compute regardless "
                         "of the training dtype (params stay f32)")
+    p.add_argument("--refine_iters", type=int, default=0,
+                   help="test-time composed pose refinement forwards "
+                        "(beyond-reference; meaningful on --random "
+                        "checkpoints — see PERFORMANCE.md)")
     ns = p.parse_args(argv)
 
     cfg = Config.load(ns.run_dir)
@@ -60,7 +64,7 @@ def main(argv=None):
     result = evaluate(trainer.model, state.params, state.batch_stats,
                       test_ds, output_path=ns.run_dir,
                       batch_size=ns.batch_size, progress=True,
-                      pretrain=ns.pretrain)
+                      pretrain=ns.pretrain, refine_iters=ns.refine_iters)
     for k, v in result.items():
         print(f"{k:>10}: {v}")
     return result

@@ -30,9 +30,10 @@ METRIC_NAMES = ["r_mse", "r_mae", "t_mse", "t_mae", "r_iso", "t_iso",
                 "fpc_iou", "mrpc_iou", "cd_fpcb", "cd_rpcb"]
 
 
-@functools.partial(jax.jit, static_argnames=("model", "pretrain"))
+@functools.partial(jax.jit, static_argnames=("model", "pretrain",
+                                             "refine_iters"))
 def test_step_metrics(model, params, batch_stats, batch: Batch,
-                      pretrain=False):
+                      pretrain=False, refine_iters=0):
     """One test batch -> PER-SAMPLE metric rows [B, 10].
 
     Per-sample (not batch-aggregated) so the dataset mean is independent
@@ -45,11 +46,25 @@ def test_step_metrics(model, params, batch_stats, batch: Batch,
     pose-only predict6 path (model5_b.py:1178-1181): the 6 pose metrics
     are real, the boundary metrics are emitted as NaN placeholders so the
     metrics.txt row keeps its 10-column shape.
+
+    ``refine_iters``: test-time composed refinement (beyond-reference;
+    Session.predict's contract) — re-run the net on the aligned pair and
+    compose the correction before computing the pose/boundary-chamfer
+    metrics. Only meaningful on checkpoints trained with --random
+    (measured gains in PERFORMANCE.md "composed refinement"); boundary
+    logits/IoU stay from the FIRST forward (the unaligned pair is the
+    boundary task's distribution).
     """
     variables = {"params": params, "batch_stats": batch_stats}
     out = model.apply(variables, batch.fpc, batch.mrpc, train=False,
                       pretrain=pretrain)
     mat = se3.exp(out.twist)
+    for _ in range(refine_iters):
+        aligned = se3.transform_points(mat, batch.mrpc)
+        out_r = model.apply(variables, batch.fpc, aligned, train=False,
+                            pretrain=pretrain)
+        mat = jnp.matmul(se3.exp(out_r.twist), mat,
+                         precision=jax.lax.Precision.HIGHEST)
     R, t = mat[:, :3, :3], mat[:, :3, 3]
     pose = M.compute_pose_metrics(R, t, batch.igt)     # 6 x [B]
 
@@ -85,10 +100,13 @@ def test_step_metrics(model, params, batch_stats, batch: Batch,
 
 
 def evaluate(model, params, batch_stats, dataset, output_path=None,
-             batch_size=1, num_workers=4, progress=False, pretrain=False):
+             batch_size=1, num_workers=4, progress=False, pretrain=False,
+             refine_iters=0):
     """Full test loop -> dict of the 10 mean metrics; writes metrics.txt
     when ``output_path`` is given (format of model5_b.py:1373-1382).
-    ``pretrain`` evaluates through the pose-only predict6 path."""
+    ``pretrain`` evaluates through the pose-only predict6 path;
+    ``refine_iters`` composes test-time refinement forwards (see
+    test_step_metrics)."""
     from .loader import Loader
 
     loader = Loader(dataset, batch_size, shuffle=False, drop_last=False,
@@ -106,7 +124,8 @@ def evaluate(model, params, batch_stats, dataset, output_path=None,
                             for a in batch])
         rows.append(np.asarray(
             test_step_metrics(model, params, batch_stats, batch,
-                              pretrain=pretrain))[:n])
+                              pretrain=pretrain,
+                              refine_iters=refine_iters))[:n])
         done += 1
         if progress and done % 20 == 0:
             print(f"  eval batch {done}/{len(loader)}")

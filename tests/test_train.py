@@ -310,3 +310,24 @@ class TestEvaluatorPretrain:
         full = np.asarray(test_step_metrics(
             model, variables["params"], variables["batch_stats"], batch))
         assert np.all(np.isfinite(full))
+
+    def test_refine_iters_metrics(self, batch, model_out):
+        """refine_iters=0 is the plain path bit-for-bit; > 0 composes
+        extra forwards, changes only pose-dependent columns (pose + the
+        transformed-boundary chamfer), and keeps boundary IoU (computed
+        from the FIRST forward) identical."""
+        from puzzlenet_tpu.train.evaluator import test_step_metrics
+        model, variables, _ = model_out
+        base = np.asarray(test_step_metrics(
+            model, variables["params"], variables["batch_stats"], batch))
+        zero = np.asarray(test_step_metrics(
+            model, variables["params"], variables["batch_stats"], batch,
+            refine_iters=0))
+        np.testing.assert_array_equal(base, zero)
+        ref = np.asarray(test_step_metrics(
+            model, variables["params"], variables["batch_stats"], batch,
+            refine_iters=2))
+        assert np.all(np.isfinite(ref))
+        np.testing.assert_array_equal(base[:, 6:8], ref[:, 6:8])  # IoU
+        np.testing.assert_array_equal(base[:, 8], ref[:, 8])      # cd_fpcb
+        assert not np.allclose(base[:, :6], ref[:, :6])           # pose
