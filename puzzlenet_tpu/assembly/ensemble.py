@@ -39,7 +39,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .greedy import AssemblyResult, _prepare_slots
-from .spanning import (_mst, _score_all_jit, _union_fps_jit,
+from .spanning import (_mst, _union_fps_jit, measure_all_pairs,
                        pair_weight)
 from .sync import _edge_selection, _score_posed, synchronize_poses
 
@@ -151,7 +151,7 @@ def ensemble_assemble(model, variables, pieces, num_points=None,
                       verify_weights=(1.0, 1.0, 10.0),
                       refine_iters=0, icp_iters=0, polish_iters=0,
                       include_greedy=False, repair_iters=0,
-                      repair_candidates=3):
+                      repair_candidates=3, measure_refine=0):
     """Assemble K fragments by verified hypothesis ensembling (module
     docstring). Same contract as the other assemblers: fragments
     [K, N, 3] (or list of [N, 3]) sharing N; result expressed in the
@@ -169,6 +169,12 @@ def ensemble_assemble(model, variables, pieces, num_points=None,
     accretion-greedy assembler's poses as a hypothesis (costs K-1 extra
     merge rounds through greedy's own compile-stable programs; the
     verified union can only beat either algorithm alone).
+
+    ``measure_refine``: batched composed-refinement rounds of ALL pair
+    measurements before any hypothesis is built (one extra fixed-shape
+    forward per round, spanning._refine_all_jit) — better measurements
+    improve every hypothesis AND the verification stays honest (it
+    re-measures posed stacks, new evidence either way).
 
     ``repair_iters``: verification-guided worst-piece repair — per
     iteration, take the piece with the highest per-piece attachment
@@ -202,8 +208,8 @@ def ensemble_assemble(model, variables, pieces, num_points=None,
     if k == 1:
         return AssemblyResult(np.asarray(stack[0]), [], [], [0.0], [eye])
 
-    mats, scores, _, _ = _score_all_jit(
-        model, variables, stack, active, idx_i, idx_j)
+    mats, scores, _, _ = measure_all_pairs(
+        model, variables, stack, active, idx_i, idx_j, measure_refine)
     mats_np = np.asarray(mats)
     scores_np = np.asarray(scores)
 

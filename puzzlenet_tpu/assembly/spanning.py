@@ -43,6 +43,54 @@ def _score_all_jit(model, variables, stack, active, idx_i, idx_j):
     return se3.exp(twists), scores, top_f, top_m
 
 
+@functools.partial(jax.jit, static_argnames=("model",))
+def _refine_all_jit(model, variables, stack, active, idx_i, idx_j, mats):
+    """One batched measurement-refinement round over EVERY ordered slot
+    pair: apply each pair's current measurement to its moved slot, re-run
+    the pairwise net on the (fixed, aligned-moved) pairs, and compose the
+    corrections. Returns (composed mats [P, 4, 4], their fit scores [P],
+    top_f [P, 128], top_m [P, 128]).
+
+    This is the inference-side answer to the relative-pose-magnitude
+    train/serve gap (PERFORMANCE.md "pairwise probe"): scattered fragment
+    pairs compose two mag-0.8 twists (relative norm up to ~1.6) while
+    training twists stay within 0.8, so one-shot measurements run 18-28
+    deg off at K >= 4 — but after that first (degraded) measurement the
+    residual pose IS inside the trained range, and with --random training
+    (near-identity in-distribution) the second look measures it
+    accurately. One extra forward refines ALL K*(K-1) measurements at
+    once through one fixed-shape program; retraining with --mag 1.7
+    (fcrg2) attacked the same gap at the data level and lost more
+    canonical accuracy than it bought back.
+
+    top_m indices address the MOVED slot's point order, which the rigid
+    alignment preserves — they remain valid indices into the original
+    stack[idx_j]. Scores are the composed measurements' boundary-chamfer
+    fits (computed inside _pair_forward on the aligned pair), i.e.
+    exactly the quantity edge selection should rank."""
+    fpc = stack[idx_i]
+    moved = se3.transform_points(mats, stack[idx_j])
+    twists, scores, top_f, top_m = _pair_forward(model, variables,
+                                                 fpc, moved)
+    valid = active[idx_i] & active[idx_j]
+    scores = jnp.where(valid, scores, jnp.inf)
+    return se3._mm(se3.exp(twists), mats), scores, top_f, top_m
+
+
+def measure_all_pairs(model, variables, stack, active, idx_i, idx_j,
+                      measure_refine=0):
+    """The shared measurement front-end of the pose-graph assemblers:
+    one batched scoring forward + ``measure_refine`` batched composed-
+    refinement rounds (docstring above). Returns the final
+    (mats, scores, top_f, top_m) device values."""
+    mats, scores, top_f, top_m = _score_all_jit(
+        model, variables, stack, active, idx_i, idx_j)
+    for _ in range(measure_refine):
+        mats, scores, top_f, top_m = _refine_all_jit(
+            model, variables, stack, active, idx_i, idx_j, mats)
+    return mats, scores, top_f, top_m
+
+
 @jax.jit
 def _union_fps_jit(stack, poses, active):
     """Pose every slot, take the masked FPS of the union back to N.
@@ -90,15 +138,20 @@ def _mst(k, weight):
 
 
 def spanning_assemble(model, variables, pieces, num_points=None,
-                      pad_to=None, refine_iters=0, icp_iters=0):
+                      pad_to=None, refine_iters=0, icp_iters=0,
+                      measure_refine=0):
     """Assemble K fragments by pose-graph composition over the pair-score
     minimum spanning tree (module docstring). Same contract as
     ``greedy_assemble``: fragments [K, N, 3] (or list of [N, 3]) sharing
     N; result expressed in the FIRST piece's frame (the anchor).
 
     ``pad_to``: fixed slot count — one compiled scoring program serves
-    every K <= pad_to. ``refine_iters``: per-tree-edge extra forwards of
-    the pairwise net on the aligned pair (in-distribution by
+    every K <= pad_to. ``measure_refine``: batched composed-refinement
+    rounds of ALL pair measurements before the MST is built (one extra
+    fixed-shape forward per round, see _refine_all_jit) — unlike
+    ``refine_iters`` it also improves the edge/direction SELECTION, not
+    just the kept edges' values. ``refine_iters``: per-tree-edge extra
+    forwards of the pairwise net on the aligned pair (in-distribution by
     construction). ``icp_iters``: per-edge boundary-ICP polish
     (assembly/icp.py; hurts on rotationally-near-symmetric fracture rims
     — see PERFORMANCE.md — so it is off by default).
@@ -112,8 +165,8 @@ def spanning_assemble(model, variables, pieces, num_points=None,
     k0 = stack.shape[0]
     pos = {ij: p for p, ij in enumerate(pairs)}
 
-    mats, scores, top_f, top_m = _score_all_jit(
-        model, variables, stack, active, idx_i, idx_j)
+    mats, scores, top_f, top_m = measure_all_pairs(
+        model, variables, stack, active, idx_i, idx_j, measure_refine)
     scores_np = np.asarray(scores)
     # bulk transfer on the default path (per-edge device slices each pay
     # a tunnel round trip); refinement keeps the device-resident mats

@@ -184,14 +184,19 @@ def _edge_selection(k, scores_np, pos, keep_frac=0.6):
 
 def sync_assemble(model, variables, pieces, num_points=None, pad_to=None,
                   refine_iters=0, icp_iters=0, keep_frac=0.6,
-                  sync_iters=0, irls_iters=2, polish_iters=0):
+                  sync_iters=0, irls_iters=2, polish_iters=0,
+                  measure_refine=0):
     """Assemble K fragments by global pose synchronization over the
     score-weighted pairwise measurement graph (module docstring). Same
     contract as the other assemblers: result in the FIRST piece's frame.
 
     ``keep_frac``: fraction of undirected pairs (best direction each)
     fed to the solver; the MST is always unioned in so the graph stays
-    connected. ``refine_iters``/``icp_iters`` polish each kept edge
+    connected. ``measure_refine``: batched composed-refinement rounds of
+    ALL pair measurements before edge selection (one extra fixed-shape
+    forward per round, spanning._refine_all_jit) — improves the
+    measurements, their fit scores, AND therefore which edges get kept.
+    ``refine_iters``/``icp_iters`` polish each kept edge
     exactly as in spanning_assemble. ``irls_iters``: Cauchy-reweighted
     re-solves inside every synchronization (see synchronize_poses) —
     outlier edges are shrunk out of the solution at numpy cost only.
@@ -212,15 +217,15 @@ def sync_assemble(model, variables, pieces, num_points=None, pad_to=None,
     chamfer (assembly/polish.py; the graph pins the per-pair rim-sliding
     ambiguity that makes ``icp_iters`` unsafe)."""
     from .greedy import _icp_refine_jit, _prepare_slots, _refine_jit
-    from .spanning import _score_all_jit, _union_fps_jit
+    from .spanning import measure_all_pairs, _union_fps_jit
 
     stack, k, pairs, idx_i, idx_j, active = _prepare_slots(
         pieces, num_points, pad_to)
     k0 = stack.shape[0]
     pos = {ij: p for p, ij in enumerate(pairs)}
 
-    mats, scores, top_f, top_m = _score_all_jit(
-        model, variables, stack, active, idx_i, idx_j)
+    mats, scores, top_f, top_m = measure_all_pairs(
+        model, variables, stack, active, idx_i, idx_j, measure_refine)
     scores_np = np.asarray(scores)
 
     kept = _edge_selection(k, scores_np, pos, keep_frac)

@@ -211,7 +211,8 @@ class Session:
 
     def assemble(self, pieces, pad_to=8, refine_iters=0, icp_iters=0,
                  algo="spanning", sync_iters=0, grow=False,
-                 polish_iters=0, include_greedy=False, repair_iters=0):
+                 polish_iters=0, include_greedy=False, repair_iters=0,
+                 measure_refine=0):
         """Multi-piece reassembly with this session's weights.
 
         ``algo``: ``"spanning"`` (pose-graph over the pair-score minimum
@@ -231,7 +232,12 @@ class Session:
         ``polish_iters`` (sync/ensemble): joint boundary-contact pose
         polish over the kept measurement graph (assembly/polish.py).
         ``repair_iters`` (ensemble only): verification-guided
-        worst-piece repair iterations (assembly/ensemble.py)."""
+        worst-piece repair iterations (assembly/ensemble.py).
+        ``measure_refine`` (spanning/sync/ensemble): batched composed-
+        refinement rounds of ALL pair measurements before any solve —
+        one extra fixed-shape forward per round; the inference-side fix
+        for out-of-trained-range scattered relative poses
+        (assembly/spanning.py::_refine_all_jit)."""
         from .assembly import (ensemble_assemble, greedy_assemble,
                                spanning_assemble, sync_assemble)
 
@@ -259,6 +265,12 @@ class Session:
             if algo != "ensemble":
                 raise ValueError("repair_iters requires algo='ensemble'")
             kw["repair_iters"] = repair_iters
+        if measure_refine:
+            if algo == "greedy":
+                raise ValueError("measure_refine requires algo='spanning',"
+                                 " 'sync' or 'ensemble' (greedy re-scores "
+                                 "every round; use refine_iters there)")
+            kw["measure_refine"] = measure_refine
         return fn(self.model, self.variables, pieces,
                   num_points=self.num_points, pad_to=pad_to or None,
                   refine_iters=refine_iters, icp_iters=icp_iters, **kw)

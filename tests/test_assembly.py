@@ -371,6 +371,69 @@ class TestAssembly:
         assert len(r.merge_order) == len(r.transforms) \
             == len(r.scores) >= len(pieces) - 1
 
+    def test_measure_refine_identity_equals_score(self, model_and_pieces):
+        """_refine_all_jit with identity measurements reproduces the raw
+        scoring pass exactly: moved = identity-transformed slots, so the
+        forward sees the same pairs and the composition with I is a
+        no-op. Locks the composition order (corr @ mat) and the index
+        contract (top_m addresses the ORIGINAL moved-slot point order)."""
+        import jax.numpy as jnp
+        from puzzlenet_tpu.assembly import spanning
+        from puzzlenet_tpu.assembly.greedy import _prepare_slots
+
+        model, variables, pieces = model_and_pieces
+        stack, k, pairs, idx_i, idx_j, active = _prepare_slots(
+            pieces, N, None)
+        mats0, s0, tf0, tm0 = spanning._score_all_jit(
+            model, variables, stack, active, idx_i, idx_j)
+        eye = jnp.broadcast_to(jnp.eye(4), (len(pairs), 4, 4))
+        mats1, s1, tf1, tm1 = spanning._refine_all_jit(
+            model, variables, stack, active, idx_i, idx_j, eye)
+        np.testing.assert_allclose(np.asarray(mats1), np.asarray(mats0),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(tm1), np.asarray(tm0))
+
+    def test_measure_refine_compile_stable(self, model_and_pieces):
+        """All measure_refine rounds and all three pose-graph assemblers
+        share ONE compiled refinement program per pad_to shape."""
+        from puzzlenet_tpu.assembly import (ensemble_assemble, spanning,
+                                            spanning_assemble,
+                                            sync_assemble)
+
+        model, variables, pieces = model_and_pieces
+        spanning_assemble(model, variables, pieces, pad_to=4,
+                          measure_refine=1)   # warm the 4-slot program
+        base = spanning._refine_all_jit._cache_size()
+        spanning_assemble(model, variables, pieces, pad_to=4,
+                          measure_refine=3)
+        sync_assemble(model, variables, pieces, pad_to=4,
+                      measure_refine=2)
+        ensemble_assemble(model, variables, pieces, pad_to=4,
+                          measure_refine=2)
+        assert spanning._refine_all_jit._cache_size() == base
+
+    @pytest.mark.parametrize("algo", ["spanning", "sync", "ensemble"])
+    def test_measure_refine_contract(self, model_and_pieces, algo):
+        """Refined measurements keep every assembler's output contract:
+        anchor-frame identity, rigid poses."""
+        from puzzlenet_tpu.assembly import (ensemble_assemble,
+                                            spanning_assemble,
+                                            sync_assemble)
+
+        model, variables, pieces = model_and_pieces
+        fn = {"spanning": spanning_assemble, "sync": sync_assemble,
+              "ensemble": ensemble_assemble}[algo]
+        r = fn(model, variables, pieces, num_points=N, measure_refine=2)
+        assert r.assembled.shape == (N, 3)
+        np.testing.assert_allclose(r.piece_transforms[0], np.eye(4),
+                                   atol=1e-4)
+        for t in r.piece_transforms:
+            R = t[:3, :3]
+            np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-4)
+            assert np.linalg.det(R) > 0.9
+
     def test_ensemble_assemble(self, model_and_pieces):
         """Verified hypothesis ensemble keeps the assembler contract
         (anchor frame, rigid poses, output ⊂ posed union) and reports

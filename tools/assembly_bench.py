@@ -131,6 +131,10 @@ def main(argv=None):
     p.add_argument("--ensemble_greedy", action="store_true",
                    help="ensemble only: also verify the accretion-greedy "
                         "poses as a hypothesis")
+    p.add_argument("--measure_refine", type=int, default=0,
+                   help="spanning/sync/ensemble: batched composed-"
+                        "refinement rounds of ALL pair measurements "
+                        "before any solve (assembly/spanning.py)")
     args = p.parse_args(argv)
 
     from puzzlenet_tpu.assembly import (ensemble_assemble, greedy_assemble,
@@ -172,6 +176,12 @@ def main(argv=None):
             p.error("--repair_iters requires --algo ensemble")
         assemble = functools.partial(assemble,
                                      repair_iters=args.repair_iters)
+    if args.measure_refine:
+        if args.algo == "greedy":
+            p.error("--measure_refine requires --algo spanning/sync/"
+                    "ensemble")
+        assemble = functools.partial(assemble,
+                                     measure_refine=args.measure_refine)
 
     # warmup: compile the padded-8 program pair once (K=k_max slots)
     cloud, scattered, _ = one_problem(family, 0, args.k_min,
@@ -252,6 +262,7 @@ def main(argv=None):
                        "icp_iters": args.icp_iters,
                        "sync_iters": args.sync_iters,
                        "repair_iters": args.repair_iters,
+                       "measure_refine": args.measure_refine,
                        "keep_frac": args.keep_frac,
                        "grow": args.grow, "rows": rows}, f,
                       indent=2)

@@ -32,7 +32,7 @@ def rot_err(Ra, Rb):
     return float(np.degrees(np.arccos(np.clip(c, -1, 1))))
 
 
-def probe(model, variables, family, ks, seeds, npoint):
+def probe(model, variables, family, ks, seeds, npoint, measure_refine=0):
     import jax
     import jax.numpy as jnp
 
@@ -70,7 +70,16 @@ def probe(model, variables, family, ks, seeds, npoint):
             fpc = stack[jnp.asarray([i for i, _ in pairs])]
             mrpc = stack[jnp.asarray([j for _, j in pairs])]
             twists, scores, _, _ = score_jit(model, variables, fpc, mrpc)
-            mats = np.asarray(se3.exp(twists))
+            mats_dev = se3.exp(twists)
+            # batched composed refinement (assembly/spanning.py::
+            # _refine_all_jit semantics, inlined on the probe's pair axis
+            # so the probe measures exactly what the assemblers consume)
+            for _ in range(measure_refine):
+                moved = se3.transform_points(mats_dev, mrpc)
+                tw_r, scores, _, _ = score_jit(model, variables, fpc,
+                                               moved)
+                mats_dev = se3._mm(se3.exp(tw_r), mats_dev)
+            mats = np.asarray(mats_dev)
             scores = np.asarray(scores)
             for i in range(K):
                 for j in range(i + 1, K):
@@ -113,6 +122,10 @@ def main(argv=None):
     p.add_argument("--num_points", type=int, default=1024)
     p.add_argument("--family", default=None)
     p.add_argument("--out", default=None)
+    p.add_argument("--measure_refine", type=int, default=0,
+                   help="batched composed-refinement rounds applied to "
+                        "every pair measurement before scoring the "
+                        "errors (the assemblers' measure_refine knob)")
     args = p.parse_args(argv)
 
     from puzzlenet_tpu.data.registry import _NAMES
@@ -121,11 +134,13 @@ def main(argv=None):
     model, variables, cfg = load_model(args.run_dir, args.num_points)
     family = args.family or _NAMES.get(cfg.dataset, (None, "vase"))[1]
     ks = [int(x) for x in args.ks.split(",")]
-    rows = probe(model, variables, family, ks, args.seeds, args.num_points)
+    rows = probe(model, variables, family, ks, args.seeds, args.num_points,
+                 measure_refine=args.measure_refine)
     if args.out:
         import json
         with open(args.out, "w") as f:
             json.dump({"run_dir": args.run_dir, "family": family,
+                       "measure_refine": args.measure_refine,
                        "rows": rows}, f, indent=2)
         print("wrote", args.out)
     return rows
