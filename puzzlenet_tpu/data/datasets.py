@@ -92,6 +92,16 @@ class SlicedCloudDataset:
     def set_epoch(self, epoch):
         self.epoch = epoch
 
+    def last_cut(self):
+        """The cut-parameter dict of the most recent __getitem__ on THIS
+        thread (requires return_cut=True; None on split_twice paths that
+        never drew a primary cut). Single-threaded eval tooling only —
+        the analytic primitive parameters behind the sampled cut surface
+        the item tuple carries (tools/ambiguity_probe.py consumes the
+        axis; dataset4val2.py's need=True returns the o3d primitive the
+        same way)."""
+        return getattr(self._cut_tls, "last", None)
+
     def _rng(self, index):
         return np.random.default_rng((self.seed, self.epoch, index))
 
