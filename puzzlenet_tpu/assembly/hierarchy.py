@@ -1,0 +1,172 @@
+"""Hierarchical (divide-and-conquer) multi-piece assembly.
+
+The flat assemblers degrade fast past K ~ 6 (PERFORMANCE.md): at K = 8
+every fragment is a sliver, pairwise measurements on sliver pairs are
+poor, and one bad edge sinks the whole pose graph. This fifth assembler
+exploits where the pairwise net is strong instead:
+
+1. measure all pairs once (the shared compile-stable front-end,
+   optionally measure_refine'd);
+2. bipartition the pieces into two balanced, contiguous clusters by
+   cutting one edge of the measurement MST (the most balanced cut,
+   ties broken toward the weakest edge);
+3. recursively assemble each cluster — at K <= base_k the flat verified
+   ensemble runs in its sweet spot (85-95% success at K = 3-4);
+4. merge the two ASSEMBLED clusters with one pairwise measurement. The
+   two clusters are complements of the (sub)cloud by construction —
+   exactly the single-cut complement distribution the net was trained
+   on (--frag_cuts covers the recursive sub-fragment case), unlike
+   greedy's cluster-vs-sliver intermediate merges;
+5. verify the hierarchical poses by posed re-measurement and fall back
+   to the flat ensemble if that verifies strictly better — the result
+   can never verify worse than the flat assembler.
+
+Compile-stability: every stage reuses the SAME padded fixed-shape
+programs the flat assemblers own (_score_all_jit/_refine_all_jit/
+_pose_stack_jit/_union_fps_jit at pad_to slots) — sub-problems and the
+2-cluster merge just run with more inactive slots. No stage compiles
+anything new. (Reference: no multi-piece code at all, README.md:14.)
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from .ensemble import _verify_per_piece, ensemble_assemble
+from .greedy import AssemblyResult, _prepare_slots
+from .spanning import (_mst, _refine_all_jit, _union_fps_jit,
+                       measure_all_pairs, pair_weight)
+from .sync import _score_posed
+
+
+def _balanced_mst_cut(k, tree, weight):
+    """Pick the tree edge whose removal yields the most balanced
+    two-component split (ties: cut the costliest edge). Returns the two
+    sorted index lists."""
+    best = None
+    for drop in tree:
+        rest = [e for e in tree if e != drop]
+        adj = {i: [] for i in range(k)}
+        for i, j in rest:
+            adj[i].append(j)
+            adj[j].append(i)
+        comp, frontier = {drop[0]}, [drop[0]]
+        while frontier:
+            x = frontier.pop()
+            for y in adj[x]:
+                if y not in comp:
+                    comp.add(y)
+                    frontier.append(y)
+        a = sorted(comp)
+        b = sorted(set(range(k)) - comp)
+        key = (min(len(a), len(b)), weight(*drop))
+        if best is None or key > best[0]:
+            best = (key, a, b)
+    return best[1], best[2]
+
+
+def hierarchical_assemble(model, variables, pieces, num_points=None,
+                          pad_to=None, base_k=4, measure_refine=0,
+                          repair_iters=0, polish_iters=0, irls_iters=2,
+                          fallback=True, refine_iters=0, icp_iters=0):
+    """Assemble K fragments by recursive bipartition + verified merge
+    (module docstring). Same contract as the other assemblers: fragments
+    [K, N, 3] (or list of [N, 3]) sharing N; result in the FIRST piece's
+    frame.
+
+    ``base_k``: sub-problems at or below this size run the flat verified
+    ensemble directly. ``measure_refine``/``repair_iters``/
+    ``polish_iters``/``irls_iters`` are passed through to the ensemble
+    leaves (and measure_refine also refines the bipartition measurements
+    and the cluster-cluster merge). ``fallback``: at the TOP level, also
+    run the flat ensemble and return whichever poses verify better
+    (posed re-measurement; same metric the ensemble optimizes) — the
+    hierarchy then can never verify worse than flat.
+    """
+    if refine_iters or icp_iters:
+        raise ValueError(
+            "hierarchical_assemble verifies whole-pose hypotheses; use "
+            "measure_refine — refine_iters/icp_iters belong to the "
+            "edge-polishing assemblers")
+    pieces = [np.asarray(p, np.float32) for p in pieces]
+    k = len(pieces)
+    kw = dict(measure_refine=measure_refine, repair_iters=repair_iters,
+              polish_iters=polish_iters, irls_iters=irls_iters)
+    if k <= base_k:
+        return ensemble_assemble(model, variables, pieces,
+                                 num_points=num_points, pad_to=pad_to,
+                                 **kw)
+
+    stack, k, pairs, idx_i, idx_j, active = _prepare_slots(
+        pieces, num_points, pad_to)
+    k0 = stack.shape[0]
+    pos = {ij: p for p, ij in enumerate(pairs)}
+    eye = np.eye(4, dtype=np.float32)
+
+    mats, scores, _, _ = measure_all_pairs(
+        model, variables, stack, active, idx_i, idx_j, measure_refine)
+    scores_np = np.asarray(scores)
+
+    weight = pair_weight(scores_np, pos)
+    tree = _mst(k, weight)
+    part_a, part_b = _balanced_mst_cut(k, tree, weight)
+
+    # --- recurse (same padded programs; no new compilations) ---
+    sub_a = hierarchical_assemble(
+        model, variables, [pieces[i] for i in part_a],
+        num_points=num_points, pad_to=pad_to, base_k=base_k,
+        fallback=False, **kw)
+    sub_b = hierarchical_assemble(
+        model, variables, [pieces[i] for i in part_b],
+        num_points=num_points, pad_to=pad_to, base_k=base_k,
+        fallback=False, **kw)
+
+    # --- cluster-cluster merge: ONE in-distribution complement pair.
+    # Reuse the padded scoring program with the two assembled clusters in
+    # slots 0/1 and everything else inactive.
+    pair_stack = jnp.asarray(np.stack(
+        [sub_a.assembled, sub_b.assembled]
+        + [np.zeros_like(sub_a.assembled)] * (k0 - 2)))
+    pair_active = jnp.arange(k0) < 2
+    m2, s2, _, _ = measure_all_pairs(
+        model, variables, pair_stack, pair_active, idx_i, idx_j,
+        measure_refine)
+    m2_np, s2_np = np.asarray(m2), np.asarray(s2)
+    p_ab, p_ba = pos[(0, 1)], pos[(1, 0)]
+    if s2_np[p_ab] <= s2_np[p_ba]:          # fixed = A, moved = B
+        m_ab = m2_np[p_ab]
+    else:
+        m_ab = np.linalg.inv(m2_np[p_ba]).astype(np.float32)
+
+    # --- compose global poses (A's anchor frame), re-gauge to piece 0
+    poses = [None] * k
+    for i, t in zip(part_a, sub_a.piece_transforms):
+        poses[i] = np.asarray(t, np.float32)
+    for i, t in zip(part_b, sub_b.piece_transforms):
+        poses[i] = (m_ab @ np.asarray(t)).astype(np.float32)
+    g0 = np.linalg.inv(poses[0]).astype(np.float32)
+    poses = [(g0 @ t).astype(np.float32) for t in poses]
+
+    def measure(ps):
+        ps_full = jnp.asarray(np.stack(list(ps) + [eye] * (k0 - k)))
+        mats_r, scores_r, _, _ = _score_posed(
+            model, variables, stack, ps_full, active, idx_i, idx_j)
+        per = _verify_per_piece(k, np.asarray(mats_r),
+                                np.asarray(scores_r), pos)
+        return float(np.mean(per))
+
+    v = measure(poses)
+    order = [("cut", tuple(part_a), tuple(part_b))]
+    if fallback:
+        flat = ensemble_assemble(model, variables, pieces,
+                                 num_points=num_points, pad_to=pad_to,
+                                 **kw)
+        v_flat = measure(flat.piece_transforms)
+        if v_flat < v:
+            return AssemblyResult(flat.assembled, flat.merge_order,
+                                  flat.transforms,
+                                  [float(v_flat)], flat.piece_transforms)
+
+    poses_full = np.stack(list(poses) + [eye] * (k0 - k))
+    assembled = np.asarray(_union_fps_jit(
+        stack, jnp.asarray(poses_full), active))
+    return AssemblyResult(assembled, order, [m_ab], [float(v)], poses)

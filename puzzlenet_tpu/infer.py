@@ -212,7 +212,7 @@ class Session:
     def assemble(self, pieces, pad_to=8, refine_iters=0, icp_iters=0,
                  algo="spanning", sync_iters=0, grow=False,
                  polish_iters=0, include_greedy=False, repair_iters=0,
-                 measure_refine=0):
+                 measure_refine=0, base_k=4):
         """Multi-piece reassembly with this session's weights.
 
         ``algo``: ``"spanning"`` (pose-graph over the pair-score minimum
@@ -233,16 +233,21 @@ class Session:
         polish over the kept measurement graph (assembly/polish.py).
         ``repair_iters`` (ensemble only): verification-guided
         worst-piece repair iterations (assembly/ensemble.py).
-        ``measure_refine`` (spanning/sync/ensemble): batched composed-
-        refinement rounds of ALL pair measurements before any solve —
-        one extra fixed-shape forward per round; the inference-side fix
-        for out-of-trained-range scattered relative poses
-        (assembly/spanning.py::_refine_all_jit)."""
+        ``measure_refine`` (spanning/sync/ensemble/hierarchical):
+        batched composed-refinement rounds of ALL pair measurements
+        before any solve — one extra fixed-shape forward per round; the
+        inference-side fix for out-of-trained-range scattered relative
+        poses (assembly/spanning.py::_refine_all_jit).
+        ``algo="hierarchical"``: recursive MST bipartition down to
+        ``base_k``-piece ensemble leaves + verified two-cluster merges
+        (assembly/hierarchy.py; never verifies worse than flat)."""
         from .assembly import (ensemble_assemble, greedy_assemble,
-                               spanning_assemble, sync_assemble)
+                               hierarchical_assemble, spanning_assemble,
+                               sync_assemble)
 
         fn = {"greedy": greedy_assemble, "spanning": spanning_assemble,
-              "sync": sync_assemble, "ensemble": ensemble_assemble}[algo]
+              "sync": sync_assemble, "ensemble": ensemble_assemble,
+              "hierarchical": hierarchical_assemble}[algo]
         kw = {}
         if sync_iters:
             if algo != "sync":
@@ -253,18 +258,22 @@ class Session:
                 raise ValueError("grow requires algo='greedy'")
             kw["grow"] = True
         if polish_iters:
-            if algo not in ("sync", "ensemble"):
+            if algo not in ("sync", "ensemble", "hierarchical"):
                 raise ValueError(
-                    "polish_iters requires algo='sync' or 'ensemble'")
+                    "polish_iters requires algo='sync', 'ensemble' or "
+                    "'hierarchical'")
             kw["polish_iters"] = polish_iters
         if include_greedy:
             if algo != "ensemble":
                 raise ValueError("include_greedy requires algo='ensemble'")
             kw["include_greedy"] = True
         if repair_iters:
-            if algo != "ensemble":
-                raise ValueError("repair_iters requires algo='ensemble'")
+            if algo not in ("ensemble", "hierarchical"):
+                raise ValueError("repair_iters requires algo='ensemble' "
+                                 "or 'hierarchical'")
             kw["repair_iters"] = repair_iters
+        if algo == "hierarchical":
+            kw["base_k"] = base_k
         if measure_refine:
             if algo == "greedy":
                 raise ValueError("measure_refine requires algo='spanning',"

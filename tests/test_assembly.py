@@ -434,6 +434,84 @@ class TestAssembly:
             np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-4)
             assert np.linalg.det(R) > 0.9
 
+    def test_hierarchical_assemble(self, model_and_pieces):
+        """Recursive bipartition + verified cluster merge keeps the
+        assembler contract above base_k (forces a real cut + merge)."""
+        from puzzlenet_tpu.assembly import hierarchical_assemble
+
+        model, variables, pieces = model_and_pieces
+        p = pieces[2]
+        five = [pieces[0], pieces[1],
+                np.concatenate([p[:N // 2], p[:N // 2]]),
+                np.concatenate([p[N // 2:], p[N // 2:]]),
+                np.concatenate([p[::2], p[::2]])]
+        r = hierarchical_assemble(model, variables, five, num_points=N,
+                                  pad_to=5, base_k=3)
+        assert r.assembled.shape == (N, 3)
+        assert len(r.piece_transforms) == 5
+        np.testing.assert_allclose(r.piece_transforms[0], np.eye(4),
+                                   atol=1e-4)
+        for t in r.piece_transforms:
+            R = np.asarray(t)[:3, :3]
+            np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-4)
+            assert np.linalg.det(R) > 0.9
+        assert np.isfinite(r.scores[0])
+
+    def test_hierarchical_below_base_k_is_ensemble(self, model_and_pieces):
+        """At K <= base_k the hierarchy IS the flat ensemble."""
+        from puzzlenet_tpu.assembly import (ensemble_assemble,
+                                            hierarchical_assemble)
+
+        model, variables, pieces = model_and_pieces
+        ra = hierarchical_assemble(model, variables, pieces,
+                                   num_points=N, base_k=4)
+        rb = ensemble_assemble(model, variables, pieces, num_points=N)
+        for ta, tb in zip(ra.piece_transforms, rb.piece_transforms):
+            np.testing.assert_allclose(ta, tb, atol=1e-5)
+
+    def test_hierarchical_compile_stable(self, model_and_pieces):
+        """Every stage (bipartition measurement, leaves, cluster merge,
+        verification, fallback) reuses the shared padded programs."""
+        from puzzlenet_tpu.assembly import (hierarchical_assemble,
+                                            spanning)
+        from puzzlenet_tpu.assembly import sync as sync_mod
+
+        model, variables, pieces = model_and_pieces
+        p = pieces[2]
+        five = [pieces[0], pieces[1],
+                np.concatenate([p[:N // 2], p[:N // 2]]),
+                np.concatenate([p[N // 2:], p[N // 2:]]),
+                np.concatenate([p[::2], p[::2]])]
+        hierarchical_assemble(model, variables, five, pad_to=5, base_k=3)
+        base = (spanning._score_all_jit._cache_size()
+                + sync_mod._pose_stack_jit._cache_size()
+                + spanning._union_fps_jit._cache_size())
+        hierarchical_assemble(model, variables, five[:4], pad_to=5,
+                              base_k=3)
+        after = (spanning._score_all_jit._cache_size()
+                 + sync_mod._pose_stack_jit._cache_size()
+                 + spanning._union_fps_jit._cache_size())
+        assert after == base
+
+    def test_hierarchical_rejects_edge_polish_knobs(self, model_and_pieces):
+        from puzzlenet_tpu.assembly import hierarchical_assemble
+
+        model, variables, pieces = model_and_pieces
+        with pytest.raises(ValueError):
+            hierarchical_assemble(model, variables, pieces, refine_iters=1)
+
+    def test_balanced_mst_cut(self):
+        """The cut maximizes balance, then prefers the weakest edge."""
+        from puzzlenet_tpu.assembly.hierarchy import _balanced_mst_cut
+
+        # path 0-1-2-3: middle edge gives 2|2, outer edges 1|3
+        tree = [(0, 1), (1, 2), (2, 3)]
+        w = {(0, 1): 1.0, (1, 2): 5.0, (2, 3): 1.0}
+        a, b = _balanced_mst_cut(4, tree, lambda i, j: w[(min(i, j),
+                                                          max(i, j))])
+        assert sorted(map(len, (a, b))) == [2, 2]
+        assert a == [0, 1] and b == [2, 3]
+
     def test_ensemble_assemble(self, model_and_pieces):
         """Verified hypothesis ensemble keeps the assembler contract
         (anchor frame, rigid poses, output ⊂ posed union) and reports

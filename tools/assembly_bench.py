@@ -107,11 +107,14 @@ def main(argv=None):
     p.add_argument("--icp_iters", type=int, default=0,
                    help="boundary-ICP iterations per merge")
     p.add_argument("--algo", choices=("greedy", "spanning", "sync",
-                                      "ensemble"),
+                                      "ensemble", "hierarchical"),
                    default="greedy",
                    help="greedy re-merging / MST pose graph / global "
                         "pose synchronization / verified hypothesis "
-                        "ensemble")
+                        "ensemble / recursive bipartition with verified "
+                        "cluster merges")
+    p.add_argument("--base_k", type=int, default=4,
+                   help="hierarchical only: flat-ensemble leaf size")
     p.add_argument("--sync_iters", type=int, default=0,
                    help="sync only: iterative re-measurement rounds on "
                         "the posed stack (assembly/sync.py)")
@@ -138,6 +141,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from puzzlenet_tpu.assembly import (ensemble_assemble, greedy_assemble,
+                                        hierarchical_assemble,
                                         spanning_assemble, sync_assemble)
     from puzzlenet_tpu.data.augment import fps_np
     from puzzlenet_tpu.data.registry import _NAMES
@@ -148,8 +152,10 @@ def main(argv=None):
     print(f"model: {args.run_dir} (dataset={cfg.dataset}, family={family}, "
           f"algo={args.algo})")
     assemble = {"greedy": greedy_assemble, "spanning": spanning_assemble,
-                "sync": sync_assemble,
-                "ensemble": ensemble_assemble}[args.algo]
+                "sync": sync_assemble, "ensemble": ensemble_assemble,
+                "hierarchical": hierarchical_assemble}[args.algo]
+    if args.algo == "hierarchical":
+        assemble = functools.partial(assemble, base_k=args.base_k)
     if args.sync_iters:
         if args.algo != "sync":
             p.error("--sync_iters requires --algo sync")
@@ -163,8 +169,9 @@ def main(argv=None):
             p.error("--keep_frac requires --algo sync")
         assemble = functools.partial(assemble, keep_frac=args.keep_frac)
     if args.polish_iters:
-        if args.algo not in ("sync", "ensemble"):
-            p.error("--polish_iters requires --algo sync or ensemble")
+        if args.algo not in ("sync", "ensemble", "hierarchical"):
+            p.error("--polish_iters requires --algo sync/ensemble/"
+                    "hierarchical")
         assemble = functools.partial(assemble,
                                      polish_iters=args.polish_iters)
     if args.ensemble_greedy:
@@ -172,8 +179,8 @@ def main(argv=None):
             p.error("--ensemble_greedy requires --algo ensemble")
         assemble = functools.partial(assemble, include_greedy=True)
     if args.repair_iters:
-        if args.algo != "ensemble":
-            p.error("--repair_iters requires --algo ensemble")
+        if args.algo not in ("ensemble", "hierarchical"):
+            p.error("--repair_iters requires --algo ensemble/hierarchical")
         assemble = functools.partial(assemble,
                                      repair_iters=args.repair_iters)
     if args.measure_refine:
@@ -263,6 +270,7 @@ def main(argv=None):
                        "sync_iters": args.sync_iters,
                        "repair_iters": args.repair_iters,
                        "measure_refine": args.measure_refine,
+                       "base_k": args.base_k,
                        "keep_frac": args.keep_frac,
                        "grow": args.grow, "rows": rows}, f,
                       indent=2)
