@@ -151,7 +151,8 @@ def ensemble_assemble(model, variables, pieces, num_points=None,
                       verify_weights=(1.0, 1.0, 10.0),
                       refine_iters=0, icp_iters=0, polish_iters=0,
                       include_greedy=False, repair_iters=0,
-                      repair_candidates=3, measure_refine=0):
+                      repair_candidates=3, measure_refine=0, cc_iters=0,
+                      tta_gauges=0, tta_mag=0.8):
     """Assemble K fragments by verified hypothesis ensembling (module
     docstring). Same contract as the other assemblers: fragments
     [K, N, 3] (or list of [N, 3]) sharing N; result expressed in the
@@ -189,6 +190,22 @@ def ensemble_assemble(model, variables, pieces, num_points=None,
     assembly but the global re-solve (final_sync) averages its error
     into every piece instead of isolating it.
 
+    ``tta_gauges``: gauge-augmented re-measurement rounds of the
+    initial pair measurements — each round re-scores every pair under a
+    fresh per-pair random rigid gauge and keeps the best fit score
+    (spanning._score_all_gauged_jit); presentation noise of the
+    non-rigid-invariant net is selected over instead of accepted.
+    ``tta_mag``: gauge twist amplitude (match the checkpoint's
+    --global_pose magnitude).
+
+    ``cc_iters``: cluster-complement refinement rounds of the final
+    winner (assembly/complement.py) — per round, measure every piece
+    against the masked-FPS union of the OTHER posed pieces (the
+    in-distribution fragment/complement presentation the net is
+    strongest on) and accept the corrected poses only if they re-verify
+    strictly better. One extra fixed-shape program; the in-distribution
+    closer for the K >= 6 near-miss failure mode.
+
     Returns ``AssemblyResult`` with ``merge_order`` = the winning
     hypothesis's edge set (tree edges for mst/swap/greedy hypotheses,
     the sorted kept-edge list for sync-family winners), ``scores`` =
@@ -209,7 +226,8 @@ def ensemble_assemble(model, variables, pieces, num_points=None,
         return AssemblyResult(np.asarray(stack[0]), [], [], [0.0], [eye])
 
     mats, scores, _, _ = measure_all_pairs(
-        model, variables, stack, active, idx_i, idx_j, measure_refine)
+        model, variables, stack, active, idx_i, idx_j, measure_refine,
+        tta_gauges=tta_gauges, tta_mag=tta_mag)
     mats_np = np.asarray(mats)
     scores_np = np.asarray(scores)
 
@@ -345,9 +363,23 @@ def ensemble_assemble(model, variables, pieces, num_points=None,
         poses3 = polish_poses(np.asarray(stack), list(poses), kept_p,
                               np.asarray(tops[0]), np.asarray(tops[1]),
                               iters=polish_iters)
-        _, _, v3, _, _ = measure(poses3)
+        _, _, v3, _, p3 = measure(poses3)
         if v3 < v:
-            v, name, poses = v3, name + "+polish", poses3
+            v, name, poses, per = v3, name + "+polish", poses3, p3
+
+    if cc_iters:
+        from .complement import refine_poses
+
+        def _verify(ps):
+            _, _, vv, _, pp = measure(ps)
+            return vv, pp
+
+        poses5, v5, per5, improved = refine_poses(
+            model, variables, stack, active, k, list(poses), _verify,
+            cc_iters, v0=v, per0=per)
+        if improved:
+            v, poses, per = v5, poses5, per5
+            name += "+cc"
 
     poses_full = np.stack(list(poses) + [eye] * (k0 - k))
     assembled = np.asarray(_union_fps_jit(

@@ -77,14 +77,61 @@ def _refine_all_jit(model, variables, stack, active, idx_i, idx_j, mats):
     return se3._mm(se3.exp(twists), mats), scores, top_f, top_m
 
 
+@functools.partial(jax.jit, static_argnames=("model",))
+def _score_all_gauged_jit(model, variables, stack, active, idx_i, idx_j,
+                          gtwists, best):
+    """Score every ordered slot pair under a per-pair rigid gauge.
+
+    ``gtwists`` [P, 6]: both pieces of pair p are moved by the gauge
+    g = exp(gtwists[p]) before the forward, and the measurement is
+    pulled back to the ungauged frame (M = g^-1 M' g). The fit score — boundary chamfer of
+    the ALIGNED pair — is computed on rigidly-moved copies of the same
+    geometry, so scores are comparable across gauges: min-over-gauges
+    selection is well-defined. (The pairwise net is not rigid-invariant;
+    --global_pose training randomizes over presentation, which makes
+    presentation a zero-mean noise source the fit score can select
+    over.)
+    Takes the current best (mats0, scores0, tf0, tm0) and returns the
+    per-pair min-score merge in ONE dispatch."""
+    mats0, scores0, tf0, tm0 = best
+    gauges = se3.exp(gtwists)
+    fpc = se3.transform_points(gauges, stack[idx_i])
+    mrpc = se3.transform_points(gauges, stack[idx_j])
+    twists, scores, top_f, top_m = _pair_forward(model, variables,
+                                                 fpc, mrpc)
+    valid = active[idx_i] & active[idx_j]
+    scores = jnp.where(valid, scores, jnp.inf)
+    mats = se3._mm(se3.inverse(gauges),
+                   se3._mm(se3.exp(twists), gauges))
+    better = scores < scores0
+    return (jnp.where(better[:, None, None], mats, mats0),
+            jnp.minimum(scores, scores0),
+            jnp.where(better[:, None], top_f, tf0),
+            jnp.where(better[:, None], top_m, tm0))
+
+
 def measure_all_pairs(model, variables, stack, active, idx_i, idx_j,
-                      measure_refine=0):
+                      measure_refine=0, tta_gauges=0, tta_mag=0.8,
+                      tta_seed=0):
     """The shared measurement front-end of the pose-graph assemblers:
-    one batched scoring forward + ``measure_refine`` batched composed-
+    one batched scoring forward + ``tta_gauges`` gauge-augmented
+    re-measurements (keep the best fit score per pair — see
+    _score_all_gauged_jit) + ``measure_refine`` batched composed-
     refinement rounds (docstring above). Returns the final
     (mats, scores, top_f, top_m) device values."""
     mats, scores, top_f, top_m = _score_all_jit(
         model, variables, stack, active, idx_i, idx_j)
+    if tta_gauges:
+        rng = np.random.default_rng(tta_seed)
+        p = idx_i.shape[0]
+        for _ in range(tta_gauges):
+            x = rng.standard_normal((p, 6)).astype(np.float32)
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            amp = (tta_mag * rng.random((p, 1))).astype(np.float32)
+            g = jnp.asarray(x * amp)
+            mats, scores, top_f, top_m = _score_all_gauged_jit(
+                model, variables, stack, active, idx_i, idx_j, g,
+                (mats, scores, top_f, top_m))
     for _ in range(measure_refine):
         mats, scores, top_f, top_m = _refine_all_jit(
             model, variables, stack, active, idx_i, idx_j, mats)
@@ -139,7 +186,7 @@ def _mst(k, weight):
 
 def spanning_assemble(model, variables, pieces, num_points=None,
                       pad_to=None, refine_iters=0, icp_iters=0,
-                      measure_refine=0):
+                      measure_refine=0, tta_gauges=0, tta_mag=0.8):
     """Assemble K fragments by pose-graph composition over the pair-score
     minimum spanning tree (module docstring). Same contract as
     ``greedy_assemble``: fragments [K, N, 3] (or list of [N, 3]) sharing
@@ -166,7 +213,8 @@ def spanning_assemble(model, variables, pieces, num_points=None,
     pos = {ij: p for p, ij in enumerate(pairs)}
 
     mats, scores, top_f, top_m = measure_all_pairs(
-        model, variables, stack, active, idx_i, idx_j, measure_refine)
+        model, variables, stack, active, idx_i, idx_j, measure_refine,
+        tta_gauges=tta_gauges, tta_mag=tta_mag)
     scores_np = np.asarray(scores)
     # bulk transfer on the default path (per-edge device slices each pay
     # a tunnel round trip); refinement keeps the device-resident mats

@@ -185,7 +185,7 @@ def _edge_selection(k, scores_np, pos, keep_frac=0.6):
 def sync_assemble(model, variables, pieces, num_points=None, pad_to=None,
                   refine_iters=0, icp_iters=0, keep_frac=0.6,
                   sync_iters=0, irls_iters=2, polish_iters=0,
-                  measure_refine=0):
+                  measure_refine=0, tta_gauges=0, tta_mag=0.8):
     """Assemble K fragments by global pose synchronization over the
     score-weighted pairwise measurement graph (module docstring). Same
     contract as the other assemblers: result in the FIRST piece's frame.
@@ -225,7 +225,8 @@ def sync_assemble(model, variables, pieces, num_points=None, pad_to=None,
     pos = {ij: p for p, ij in enumerate(pairs)}
 
     mats, scores, top_f, top_m = measure_all_pairs(
-        model, variables, stack, active, idx_i, idx_j, measure_refine)
+        model, variables, stack, active, idx_i, idx_j, measure_refine,
+        tta_gauges=tta_gauges, tta_mag=tta_mag)
     scores_np = np.asarray(scores)
 
     kept = _edge_selection(k, scores_np, pos, keep_frac)

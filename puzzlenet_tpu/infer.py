@@ -212,7 +212,8 @@ class Session:
     def assemble(self, pieces, pad_to=8, refine_iters=0, icp_iters=0,
                  algo="spanning", sync_iters=0, grow=False,
                  polish_iters=0, include_greedy=False, repair_iters=0,
-                 measure_refine=0, base_k=4):
+                 measure_refine=0, base_k=4, cc_iters=0,
+                 tta_gauges=0, tta_mag=0.8, beam_cuts=1):
         """Multi-piece reassembly with this session's weights.
 
         ``algo``: ``"spanning"`` (pose-graph over the pair-score minimum
@@ -240,7 +241,16 @@ class Session:
         poses (assembly/spanning.py::_refine_all_jit).
         ``algo="hierarchical"``: recursive MST bipartition down to
         ``base_k``-piece ensemble leaves + verified two-cluster merges
-        (assembly/hierarchy.py; never verifies worse than flat)."""
+        (assembly/hierarchy.py; never verifies worse than flat).
+        ``tta_gauges``/``tta_mag`` (spanning/sync/ensemble/
+        hierarchical): gauge-augmented re-measurement rounds — re-score
+        every pair under random rigid gauges, keep the best fit score
+        per pair (assembly/spanning.py::_score_all_gauged_jit).
+        ``cc_iters`` (ensemble/hierarchical): cluster-complement
+        refinement rounds of the final poses — re-measure each piece
+        against the union of the others, the in-distribution
+        fragment/complement presentation (assembly/complement.py);
+        accepted only on strict verification improvement."""
         from .assembly import (ensemble_assemble, greedy_assemble,
                                hierarchical_assemble, spanning_assemble,
                                sync_assemble)
@@ -274,6 +284,21 @@ class Session:
             kw["repair_iters"] = repair_iters
         if algo == "hierarchical":
             kw["base_k"] = base_k
+            if beam_cuts > 1:
+                kw["beam_cuts"] = beam_cuts
+        elif beam_cuts > 1:
+            raise ValueError("beam_cuts requires algo='hierarchical'")
+        if tta_gauges:
+            if algo == "greedy":
+                raise ValueError("tta_gauges requires algo='spanning', "
+                                 "'sync', 'ensemble' or 'hierarchical'")
+            kw["tta_gauges"] = tta_gauges
+            kw["tta_mag"] = tta_mag
+        if cc_iters:
+            if algo not in ("ensemble", "hierarchical"):
+                raise ValueError("cc_iters requires algo='ensemble' or "
+                                 "'hierarchical'")
+            kw["cc_iters"] = cc_iters
         if measure_refine:
             if algo == "greedy":
                 raise ValueError("measure_refine requires algo='spanning',"

@@ -748,6 +748,152 @@ class TestAssembly:
             assert np.linalg.det(R) > 0.9
             np.testing.assert_allclose(g[3], [0, 0, 0, 1], atol=1e-6)
 
+    def test_tta_zero_mag_is_identity(self, model_and_pieces):
+        """With tta_mag=0 every gauge is the identity, so the gauged
+        re-measurement reproduces the base measurement exactly and the
+        min-merge changes nothing."""
+        import jax.numpy as jnp
+        from puzzlenet_tpu.assembly.greedy import _prepare_slots
+        from puzzlenet_tpu.assembly.spanning import measure_all_pairs
+
+        model, variables, pieces = model_and_pieces
+        stack, k, _, idx_i, idx_j, active = _prepare_slots(pieces, N,
+                                                           pad_to=None)
+        m0, s0, tf0, tm0 = measure_all_pairs(model, variables, stack,
+                                             active, idx_i, idx_j)
+        m1, s1, tf1, tm1 = measure_all_pairs(model, variables, stack,
+                                             active, idx_i, idx_j,
+                                             tta_gauges=2, tta_mag=0.0)
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(m0), np.asarray(m1),
+                                   atol=1e-4)
+
+    def test_tta_scores_never_worse(self, model_and_pieces):
+        """TTA is a min-merge over presentations: per-pair scores can
+        only improve, and the kept mats stay rigid."""
+        from puzzlenet_tpu.assembly.greedy import _prepare_slots
+        from puzzlenet_tpu.assembly.spanning import measure_all_pairs
+
+        model, variables, pieces = model_and_pieces
+        stack, k, _, idx_i, idx_j, active = _prepare_slots(pieces, N,
+                                                           pad_to=4)
+        _, s0, _, _ = measure_all_pairs(model, variables, stack, active,
+                                        idx_i, idx_j)
+        m1, s1, _, _ = measure_all_pairs(model, variables, stack, active,
+                                         idx_i, idx_j, tta_gauges=3)
+        s0, s1 = np.asarray(s0), np.asarray(s1)
+        finite = np.isfinite(s0)
+        assert (s1[finite] <= s0[finite] + 1e-6).all()
+        assert np.isinf(s1[~finite]).all()
+        for M in np.asarray(m1)[finite]:
+            R = M[:3, :3]
+            np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-4)
+            np.testing.assert_allclose(M[3], [0, 0, 0, 1], atol=1e-5)
+
+    def test_ensemble_tta_smoke(self, model_and_pieces):
+        from puzzlenet_tpu.assembly import ensemble_assemble
+
+        model, variables, pieces = model_and_pieces
+        r = ensemble_assemble(model, variables, pieces, num_points=N,
+                              tta_gauges=1)
+        assert r.assembled.shape == (N, 3)
+        np.testing.assert_allclose(r.piece_transforms[0], np.eye(4),
+                                   atol=1e-4)
+
+    def test_hierarchical_beam_cuts(self, model_and_pieces):
+        """Beam over the top-2 MST cuts keeps the contract and, since it
+        verifies every beam with the same metric, can only match or beat
+        the single-cut hierarchy's reported cost."""
+        from puzzlenet_tpu.assembly import hierarchical_assemble
+
+        model, variables, pieces = model_and_pieces
+        quads = pieces + [pieces[0]]
+        base = hierarchical_assemble(model, variables, quads,
+                                     num_points=N, pad_to=4, base_k=2,
+                                     fallback=False)
+        r = hierarchical_assemble(model, variables, quads, num_points=N,
+                                  pad_to=4, base_k=2, beam_cuts=2,
+                                  fallback=False)
+        assert r.assembled.shape == (N, 3)
+        np.testing.assert_allclose(r.piece_transforms[0], np.eye(4),
+                                   atol=1e-4)
+        assert r.scores[0] <= base.scores[0] + 1e-6
+
+    def test_ranked_mst_cuts(self):
+        from puzzlenet_tpu.assembly.hierarchy import _ranked_mst_cuts
+
+        # path graph 0-1-2-3 with equal weights: the balanced cut drops
+        # edge (1, 2); ranking must lead with it
+        tree = [(0, 1), (1, 2), (2, 3)]
+        cuts = _ranked_mst_cuts(4, tree, lambda i, j: 1.0)
+        assert cuts[0] == ([0, 1], [2, 3])
+        assert len(cuts) == 3
+
+    def test_complement_corrections_shapes(self, model_and_pieces):
+        """Complement measurement contract: one correction + fit score per
+        slot, rigid corrections, +inf score on inactive slots."""
+        import jax.numpy as jnp
+        from puzzlenet_tpu.assembly.complement import (
+            complement_corrections)
+        from puzzlenet_tpu.assembly.greedy import _prepare_slots
+
+        model, variables, pieces = model_and_pieces
+        stack, k, _, _, _, active = _prepare_slots(pieces, N, pad_to=4)
+        poses = [np.eye(4, dtype=np.float32)] * k
+        corr, scores = complement_corrections(model, variables, stack,
+                                              poses, active)
+        assert corr.shape == (4, 4, 4) and scores.shape == (4,)
+        for i in range(k):
+            R = corr[i][:3, :3]
+            np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-4)
+            assert np.isfinite(scores[i])
+        assert np.isinf(scores[k:]).all()
+
+    def test_ensemble_cc_iters(self, model_and_pieces):
+        """cc refinement keeps the assembler contract (anchor identity,
+        rigid poses) and only ever accepts verified improvements."""
+        from puzzlenet_tpu.assembly import ensemble_assemble
+
+        model, variables, pieces = model_and_pieces
+        base = ensemble_assemble(model, variables, pieces, num_points=N)
+        r = ensemble_assemble(model, variables, pieces, num_points=N,
+                              cc_iters=2)
+        np.testing.assert_allclose(r.piece_transforms[0], np.eye(4),
+                                   atol=1e-4)
+        for t in r.piece_transforms:
+            R = t[:3, :3]
+            np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-4)
+            assert np.linalg.det(R) > 0.9
+        # strict-improvement acceptance on the SAME verification metric:
+        # cc can only lower the reported cost
+        assert np.isfinite(r.scores[0])
+        assert r.scores[0] <= base.scores[0] + 1e-6
+
+    def test_cc_compile_stable(self, model_and_pieces):
+        """The complement-measurement program is ONE fixed-shape compile
+        at a given pad_to: a second call (different K, same padding)
+        reuses it."""
+        from puzzlenet_tpu.assembly import complement, ensemble_assemble
+
+        model, variables, pieces = model_and_pieces
+        ensemble_assemble(model, variables, pieces, pad_to=4, cc_iters=1)
+        base = complement._complement_measure_jit._cache_size()
+        ensemble_assemble(model, variables, pieces + [pieces[0]],
+                          pad_to=4, cc_iters=1)
+        assert complement._complement_measure_jit._cache_size() == base
+
+    def test_hierarchical_cc_smoke(self, model_and_pieces):
+        from puzzlenet_tpu.assembly import hierarchical_assemble
+
+        model, variables, pieces = model_and_pieces
+        r = hierarchical_assemble(model, variables,
+                                  pieces + [pieces[0]], num_points=N,
+                                  pad_to=4, base_k=2, cc_iters=1)
+        assert r.assembled.shape == (N, 3)
+        np.testing.assert_allclose(r.piece_transforms[0], np.eye(4),
+                                   atol=1e-4)
+
     def test_fragment_and_scatter(self):
         from puzzlenet_tpu.assembly import fragment_cloud, scatter_pieces
 

@@ -115,6 +115,9 @@ def main(argv=None):
                         "cluster merges")
     p.add_argument("--base_k", type=int, default=4,
                    help="hierarchical only: flat-ensemble leaf size")
+    p.add_argument("--beam_cuts", type=int, default=1,
+                   help="hierarchical only: top-level beam over this "
+                        "many balanced MST bipartitions")
     p.add_argument("--sync_iters", type=int, default=0,
                    help="sync only: iterative re-measurement rounds on "
                         "the posed stack (assembly/sync.py)")
@@ -134,6 +137,16 @@ def main(argv=None):
     p.add_argument("--ensemble_greedy", action="store_true",
                    help="ensemble only: also verify the accretion-greedy "
                         "poses as a hypothesis")
+    p.add_argument("--tta_gauges", type=int, default=0,
+                   help="spanning/sync/ensemble/hierarchical: gauge-"
+                        "augmented re-measurement rounds (keep the best "
+                        "fit score per pair; assembly/spanning.py)")
+    p.add_argument("--tta_mag", type=float, default=0.8,
+                   help="TTA gauge twist amplitude")
+    p.add_argument("--cc_iters", type=int, default=0,
+                   help="ensemble/hierarchical: cluster-complement "
+                        "refinement rounds of the final poses "
+                        "(assembly/complement.py)")
     p.add_argument("--measure_refine", type=int, default=0,
                    help="spanning/sync/ensemble: batched composed-"
                         "refinement rounds of ALL pair measurements "
@@ -155,7 +168,10 @@ def main(argv=None):
                 "sync": sync_assemble, "ensemble": ensemble_assemble,
                 "hierarchical": hierarchical_assemble}[args.algo]
     if args.algo == "hierarchical":
-        assemble = functools.partial(assemble, base_k=args.base_k)
+        assemble = functools.partial(assemble, base_k=args.base_k,
+                                     beam_cuts=args.beam_cuts)
+    elif args.beam_cuts > 1:
+        p.error("--beam_cuts requires --algo hierarchical")
     if args.sync_iters:
         if args.algo != "sync":
             p.error("--sync_iters requires --algo sync")
@@ -189,6 +205,16 @@ def main(argv=None):
                     "ensemble")
         assemble = functools.partial(assemble,
                                      measure_refine=args.measure_refine)
+    if args.cc_iters:
+        if args.algo not in ("ensemble", "hierarchical"):
+            p.error("--cc_iters requires --algo ensemble/hierarchical")
+        assemble = functools.partial(assemble, cc_iters=args.cc_iters)
+    if args.tta_gauges:
+        if args.algo == "greedy":
+            p.error("--tta_gauges requires --algo spanning/sync/"
+                    "ensemble/hierarchical")
+        assemble = functools.partial(assemble, tta_gauges=args.tta_gauges,
+                                     tta_mag=args.tta_mag)
 
     # warmup: compile the padded-8 program pair once (K=k_max slots)
     cloud, scattered, _ = one_problem(family, 0, args.k_min,
@@ -270,7 +296,11 @@ def main(argv=None):
                        "sync_iters": args.sync_iters,
                        "repair_iters": args.repair_iters,
                        "measure_refine": args.measure_refine,
+                       "cc_iters": args.cc_iters,
+                       "tta_gauges": args.tta_gauges,
+                       "tta_mag": args.tta_mag,
                        "base_k": args.base_k,
+                       "beam_cuts": args.beam_cuts,
                        "keep_frac": args.keep_frac,
                        "grow": args.grow, "rows": rows}, f,
                       indent=2)

@@ -32,16 +32,14 @@ def rot_err(Ra, Rb):
     return float(np.degrees(np.arccos(np.clip(c, -1, 1))))
 
 
-def probe(model, variables, family, ks, seeds, npoint, measure_refine=0):
+def probe(model, variables, family, ks, seeds, npoint, measure_refine=0,
+          tta_gauges=0, tta_mag=0.8):
     import jax
     import jax.numpy as jnp
 
-    from puzzlenet_tpu.assembly import (fragment_cloud, greedy,
-                                        scatter_pieces, spanning)
+    from puzzlenet_tpu.assembly import (fragment_cloud, scatter_pieces,
+                                        spanning)
     from puzzlenet_tpu.data import synthetic_clouds
-    from puzzlenet_tpu.semath import se3
-
-    score_jit = greedy._pair_forward_jit
     rows = []
     for K in ks:
         chosen_errs, oracle_errs, mst_adj = [], [], []
@@ -67,18 +65,16 @@ def probe(model, variables, family, ks, seeds, npoint, measure_refine=0):
             stack = jnp.asarray(np.stack(scattered))
             pairs = [(i, j) for i in range(K) for j in range(K) if i != j]
             pos = {ij: p for p, ij in enumerate(pairs)}
-            fpc = stack[jnp.asarray([i for i, _ in pairs])]
-            mrpc = stack[jnp.asarray([j for _, j in pairs])]
-            twists, scores, _, _ = score_jit(model, variables, fpc, mrpc)
-            mats_dev = se3.exp(twists)
-            # batched composed refinement (assembly/spanning.py::
-            # _refine_all_jit semantics, inlined on the probe's pair axis
-            # so the probe measures exactly what the assemblers consume)
-            for _ in range(measure_refine):
-                moved = se3.transform_points(mats_dev, mrpc)
-                tw_r, scores, _, _ = score_jit(model, variables, fpc,
-                                               moved)
-                mats_dev = se3._mm(se3.exp(tw_r), mats_dev)
+            idx_i = jnp.asarray([i for i, _ in pairs], jnp.int32)
+            idx_j = jnp.asarray([j for _, j in pairs], jnp.int32)
+            active = jnp.ones(K, bool)
+            # THE assembler measurement front-end (scoring + TTA +
+            # composed refinement), so the probe measures exactly what
+            # the assemblers consume
+            mats_dev, scores, _, _ = spanning.measure_all_pairs(
+                model, variables, stack, active, idx_i, idx_j,
+                measure_refine=measure_refine, tta_gauges=tta_gauges,
+                tta_mag=tta_mag, tta_seed=seed)
             mats = np.asarray(mats_dev)
             scores = np.asarray(scores)
             for i in range(K):
@@ -126,6 +122,10 @@ def main(argv=None):
                    help="batched composed-refinement rounds applied to "
                         "every pair measurement before scoring the "
                         "errors (the assemblers' measure_refine knob)")
+    p.add_argument("--tta_gauges", type=int, default=0,
+                   help="gauge-augmented re-measurement rounds (the "
+                        "assemblers' tta_gauges knob)")
+    p.add_argument("--tta_mag", type=float, default=0.8)
     args = p.parse_args(argv)
 
     from puzzlenet_tpu.data.registry import _NAMES
@@ -135,12 +135,15 @@ def main(argv=None):
     family = args.family or _NAMES.get(cfg.dataset, (None, "vase"))[1]
     ks = [int(x) for x in args.ks.split(",")]
     rows = probe(model, variables, family, ks, args.seeds, args.num_points,
-                 measure_refine=args.measure_refine)
+                 measure_refine=args.measure_refine,
+                 tta_gauges=args.tta_gauges, tta_mag=args.tta_mag)
     if args.out:
         import json
         with open(args.out, "w") as f:
             json.dump({"run_dir": args.run_dir, "family": family,
                        "measure_refine": args.measure_refine,
+                       "tta_gauges": args.tta_gauges,
+                       "tta_mag": args.tta_mag,
                        "rows": rows}, f, indent=2)
         print("wrote", args.out)
     return rows
