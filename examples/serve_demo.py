@@ -80,6 +80,14 @@ def main():
     print(f"assemble(sync): {r.assembled.shape[0]} points from "
           f"{len(scattered)} pieces, {len(r.merge_order)} edges kept")
 
+    # the quality stack for harder K: verified hypothesis ensemble +
+    # gauge-TTA measurements + cluster-complement refinement (README
+    # "Assembler options"; each knob is verification-gated, so stacking
+    # them can only match or improve the reported cost)
+    r2 = sess.assemble(scattered, algo="ensemble", measure_refine=1,
+                       tta_gauges=2, cc_iters=1)
+    print(f"assemble(ensemble+tta+cc): verified cost {r2.scores[0]:.3f}")
+
 
 if __name__ == "__main__":
     main()

@@ -50,6 +50,43 @@ def bench(fn, *args, iters=20, warmup=3):
     return float(np.median(ts))
 
 
+def amortized(fn, reps):
+    """Wrap ``fn`` so one dispatch runs it ``reps`` times serially.
+
+    Per-call timing over the remote-TPU tunnel carries a ~1.5-36 ms
+    dispatch+readback tax that can swamp ms-scale kernels (the r3
+    step_profile artifact has a ~36 ms floor on every row). This wrapper
+    chains ``reps`` executions inside ONE jitted fori_loop, serialized
+    by a genuine data dependence: each rep's output is reduced into a
+    scalar accumulator whose (vanishingly scaled) value perturbs the
+    next rep's first float input — the add stays in the dataflow graph,
+    so XLA cannot parallelize or elide reps, while the perturbation
+    underflows to zero numerically. Timed cost = (wall - one dispatch)
+    / reps ~= true device time."""
+    from jax import lax
+
+    @jax.jit
+    def run(*args):
+        leaves, treedef = jax.tree_util.tree_flatten(args)
+
+        def body(_, carry):
+            acc, lvs = carry
+            out = fn(*jax.tree_util.tree_unflatten(treedef, lvs))
+            l0 = jax.tree_util.tree_leaves(out)[0]
+            acc = acc + jnp.sum(l0).astype(jnp.float32)
+            lvs = list(lvs)
+            for i, lf in enumerate(lvs):
+                if jnp.issubdtype(lf.dtype, jnp.floating):
+                    lvs[i] = lf + (acc * 1e-38).astype(lf.dtype)
+                    break
+            return acc, lvs
+
+        acc, _ = lax.fori_loop(0, reps, body, (jnp.float32(0), leaves))
+        return acc
+
+    return run
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
@@ -57,6 +94,11 @@ def main():
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--boundary_fp", action="store_true")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--amortize", type=int, default=0,
+                    help="run each component this many times inside ONE "
+                         "dispatch (fori_loop chain) and report per-rep "
+                         "device time — removes the remote-tunnel "
+                         "per-dispatch tax from every row")
     ap.add_argument("--loss_mode", type=int, default=1)
     ap.add_argument("--json", default=None)
     ns = ap.parse_args()
@@ -90,7 +132,23 @@ def main():
 
     def add(name, ms):
         rows.append((name, ms))
-        print(f"  {name:<34s} {ms:8.2f} ms")
+        print(f"  {name:<34s} {ms:8.2f} ms", flush=True)
+
+    if ns.amortize:
+        _bench = bench
+
+        def bench_am(fn, *args, iters=ns.iters, warmup=None):
+            wrapped = amortized(fn, ns.amortize)
+            base = _bench(wrapped, *args, iters=max(3, iters // 3))
+            # one dispatch+readback still rides on top; subtract the
+            # measured empty-loop cost of this wrapper form
+            return max(0.0, (base - _dispatch_ms)) / ns.amortize
+
+        _dispatch_ms = _bench(amortized(lambda x: x, ns.amortize), fpc,
+                              iters=5)
+        print(f"  (amortize={ns.amortize}; dispatch floor "
+              f"{_dispatch_ms:.2f} ms subtracted)")
+        globals()['bench'] = bench_am
 
     print(f"# step_profile  B={B} n={n} bf16={ns.bf16} "
           f"boundary_fp={ns.boundary_fp} backend={jax.default_backend()}")
