@@ -225,14 +225,25 @@ class Trainer:
             )
         return self.ckpt_manager
 
-    def save_checkpoint(self, state, epoch, train_loss):
+    def save_checkpoint(self, state, epoch, train_loss, pretrain=False):
+        """Top-2-by-train_loss retention (the reference's Lightning
+        ``save_top_k=2, monitor="train_loss"``, train.py:90-97) — with one
+        fix: ``pretrain=True`` saves are recorded at +inf loss, making
+        them evict-FIRST. The pose-only pretrain phase scores far lower
+        raw losses than the full loss_mode-1 objective, so ranking the
+        two phases on one scale let 1.5k-step pretrain checkpoints evict
+        every main-phase save INCLUDING the final trained model (the
+        reference has the same hazard, masked only by its default
+        pretrain_epochs=0 recipe). Pretrain saves still serve crash
+        recovery until two main-phase saves exist."""
         import orbax.checkpoint as ocp
         self._ckpt().save(
             epoch, args=ocp.args.StandardSave(
                 {"params": state.params, "batch_stats": state.batch_stats,
                  "opt_state": state.opt_state,
                  "step": state.step}),
-            metrics={"train_loss": float(train_loss)})
+            metrics={"train_loss": float("inf") if pretrain
+                     else float(train_loss)})
 
     def restore_checkpoint(self, state, path=None, step=None):
         """Restore a TrainState (elastic recovery / --resume / serving).
@@ -359,7 +370,8 @@ class Trainer:
                 # every_n_epochs, train.py:119-124): first save at epoch
                 # save_on_epochs - 1, not at epoch 0
                 if (epoch + 1) % cfg.save_on_epochs == 0:
-                    self.save_checkpoint(state, epoch, epoch_loss)
+                    self.save_checkpoint(state, epoch, epoch_loss,
+                                         pretrain=pretrain)
 
                 if (val_loader is not None
                         and (epoch + 1) % cfg.check_val_every_n_epoch == 0):
@@ -506,7 +518,8 @@ class Trainer:
                       flush=True)
             if save_every and done % save_every < n and done < steps:
                 self.save_checkpoint(state, done,
-                                     float(jnp.mean(losses[-1])))
+                                     float(jnp.mean(losses[-1])),
+                                     pretrain=pretrain)
             if done % val_every < n or done == steps:
                 if val_batch is None:
                     vk = jax.random.fold_in(key, 0x7FFFFFFF)

@@ -225,6 +225,26 @@ class TestEndToEnd:
                         jax.tree_util.tree_leaves(restored.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
 
+    def test_pretrain_checkpoints_evict_first(self, tmp_path, batch):
+        """Pretrain-phase saves must never evict main-phase saves: the
+        pose-only pretrain objective scores far lower raw losses, so a
+        shared top-2-by-train_loss ranking would keep two 1.5k-step
+        pretrain checkpoints and GC every main save INCLUDING the final
+        trained model (regression: cadr_bfp_r round 4 retained only
+        steps 2000/3000 mid-run)."""
+        cfg = Config(batch_size=2, num_points=N, loss_mode=0,
+                     output_path=str(tmp_path / "evict_run"))
+        trainer = Trainer(cfg, mesh=make_mesh(1, 1))
+        state = trainer.init_state(batch)
+        # pretrain saves at tiny losses, then main saves at larger ones
+        trainer.save_checkpoint(state, 1, 0.5, pretrain=True)
+        trainer.save_checkpoint(state, 2, 0.4, pretrain=True)
+        trainer.save_checkpoint(state, 10, 50.0)
+        trainer.save_checkpoint(state, 20, 40.0)
+        trainer.ckpt_manager.wait_until_finished()
+        kept = sorted(trainer.ckpt_manager.all_steps())
+        assert kept == [10, 20], kept
+
 
 class TestLoader:
     def test_process_loader_matches_thread_loader(self):
