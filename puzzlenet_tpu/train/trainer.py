@@ -501,6 +501,7 @@ class Trainer:
             split_twice=split_twice, mag_randomly=cfg.random))
         val_batch = None
         losses = []
+        since_save = []  # device scalars; only reduced at save time
         done = int(state.step)
         while done < steps:
             pretrain = done < pretrain_steps
@@ -509,6 +510,7 @@ class Trainer:
             n = min(scan_chunk, limit - done)
             state, chunk_losses = chunk_fn(pretrain, n, state)
             losses = [chunk_losses]      # only the latest window is read
+            since_save.append(chunk_losses)
             done += n
             if done % log_every < n or done == limit:
                 window = float(jnp.mean(losses[-1]))
@@ -517,9 +519,18 @@ class Trainer:
                 print(f"step {done}/{steps} [{phase}] loss {window:.4f}",
                       flush=True)
             if save_every and done % save_every < n and done < steps:
-                self.save_checkpoint(state, done,
-                                     float(jnp.mean(losses[-1])),
-                                     pretrain=pretrain)
+                # retention monitor = MEAN loss since the last save (the
+                # Lightning epoch-mean analogue). A single-step sample is
+                # ~30x noisier at save_every=1000: top-2 retention then
+                # keeps the two luckiest dips and evicts the FINAL
+                # trained model (observed: vcone_bfp_r2 kept 52k/53k
+                # noise dips and GC'd step 60000).
+                self.save_checkpoint(
+                    state, done,
+                    float(jnp.mean(jnp.concatenate(
+                        [jnp.ravel(x) for x in since_save]))),
+                    pretrain=pretrain)
+                since_save = []
             if done % val_every < n or done == steps:
                 if val_batch is None:
                     vk = jax.random.fold_in(key, 0x7FFFFFFF)
@@ -536,13 +547,39 @@ class Trainer:
                 self._viz_val(state, viz_batch, pretrain, done)
         if not losses:   # resumed at/after the target step: nothing to do
             return state
-        final_loss = float(jnp.mean(losses[-1]))
+        final_loss = float(jnp.mean(jnp.concatenate(
+            [jnp.ravel(x) for x in since_save or losses])))
         self.save_checkpoint(state, steps, final_loss)
         self.ckpt_manager.wait_until_finished()
+        self.ensure_final_checkpoint(state, steps)
         if final_loss < cfg.early_stop_threshold:
             with open(os.path.join(cfg.output_path, "stop.txt"), "w") as f:
                 f.write(f"stop\n{steps}\n{final_loss}")
         return state
+
+    def ensure_final_checkpoint(self, state, step):
+        """Guarantee the final trained model exists on disk.
+
+        Top-2-by-train_loss retention can still evict the FINAL save if
+        two retained mid-run means happen to rank lower — losing the
+        model the whole run was for. If the manager no longer lists
+        ``step``, write it out-of-band in the read-only restorer's
+        layout (``checkpoints/<step>/default``), which
+        ``restore_checkpoint(path=...)``, the eval CLI and
+        ``Session.from_run`` all consume. Never pointed at by a live
+        CheckpointManager afterwards, so the manager-GC hazard
+        (CLAUDE.md) does not apply."""
+        if step in self.ckpt_manager.all_steps():
+            return
+        import orbax.checkpoint as ocp
+        path = os.path.join(os.path.abspath(self.cfg.output_path),
+                            "checkpoints", str(step), "default")
+        ocp.StandardCheckpointer().save(
+            path, {"params": state.params,
+                   "batch_stats": state.batch_stats,
+                   "opt_state": state.opt_state, "step": state.step})
+        print(f"final checkpoint re-written out-of-band at step {step} "
+              "(retention had evicted it)", flush=True)
 
     # -- visualization ------------------------------------------------------
 

@@ -225,6 +225,29 @@ class TestEndToEnd:
                         jax.tree_util.tree_leaves(restored.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
 
+    def test_final_checkpoint_survives_eviction(self, tmp_path, batch):
+        """The final save can lose top-2-by-loss retention roulette to
+        lucky mid-run dips (observed: vcone_bfp_r2 kept two noise dips
+        and GC'd step 60000). ensure_final_checkpoint must re-write it
+        out-of-band in the read-only restorer's layout."""
+        import os
+        cfg = Config(batch_size=2, num_points=N, loss_mode=0,
+                     output_path=str(tmp_path / "final_run"))
+        trainer = Trainer(cfg, mesh=make_mesh(1, 1))
+        state = trainer.init_state(batch)
+        trainer.save_checkpoint(state, 10, 1.0)
+        trainer.save_checkpoint(state, 20, 2.0)
+        trainer.save_checkpoint(state, 30, 9.0)   # "final", worst loss
+        trainer.ckpt_manager.wait_until_finished()
+        assert 30 not in trainer.ckpt_manager.all_steps()
+        trainer.ensure_final_checkpoint(state, 30)
+        fresh = trainer.init_state(batch, seed=9)
+        restored = trainer.restore_checkpoint(
+            fresh, os.path.join(cfg.output_path, "checkpoints"), step=30)
+        for a, c in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
     def test_pretrain_checkpoints_evict_first(self, tmp_path, batch):
         """Pretrain-phase saves must never evict main-phase saves: the
         pose-only pretrain objective scores far lower raw losses, so a
