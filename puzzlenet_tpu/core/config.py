@@ -95,6 +95,17 @@ class Config:
                                              # pair cut — trains at K-piece
                                              # assembly fragment sizes
                                              # (data/device_pipeline.py)
+    postcut: float = 0.0                     # device-data path: probability
+                                             # of re-cutting ONE side of the
+                                             # training pair and keeping the
+                                             # half nearer the other piece —
+                                             # non-SIBLING adjacent pairs
+                                             # (partial shared interface),
+                                             # the K >= 6 assembly pair
+                                             # geometry frag_cuts alone
+                                             # never produces
+                                             # (data/device_pipeline.py::
+                                             # _postcut_sides)
     mag: float = 0.8                         # training twist magnitude
                                              # (RandomTransformSE3's 0.8,
                                              # transforms.py:151-197;

@@ -159,6 +159,46 @@ def _precut_valid(key, cloud, cut, npoint, frag_cuts):
     return valid
 
 
+def _postcut_sides(key, cloud, up, down, cut, npoint, p):
+    """Non-sibling pair augmentation: with probability ``p``, re-cut one
+    side of the pair and keep the half nearer the other piece.
+
+    Assembly fragments clouds with a recursive cut TREE
+    (assembly/fragment.py): at K >= 6 most adjacent piece pairs are
+    non-siblings — they share only PART of one cut's interface, and each
+    piece is additionally bounded by other cuts with no counterpart in
+    its partner. frag_cuts training pairs are always siblings (the final
+    cut's two complements within the pre-cut region), so that geometry
+    is off-distribution. This knob re-cuts the up or down side once more
+    (size-gated like every cut) and keeps the half whose centroid is
+    nearer the partner piece (a cheap contact-keeping heuristic — the
+    far half may share no interface at all, which would make the pose
+    unlearnable from geometry). Boundary labels need no special casing:
+    top-128 mutual chamfer concentrates on the residual shared
+    interface exactly as it does at assembly time. Beyond-reference."""
+    k_do, k_which, k_cut = jax.random.split(key, 3)
+    do = jax.random.bernoulli(k_do, p)
+    which_up = jax.random.bernoulli(k_which)
+    tgt = jnp.where(which_up, up, down)
+    other = jnp.where(which_up, down, up)
+    sub, ok = _partition(k_cut, cloud, cut, npoint, valid=tgt,
+                         fallback=False)
+    rest = tgt & ~sub
+
+    def centroid(m):
+        w = m.astype(cloud.dtype)
+        return (cloud * w[:, None]).sum(0) / jnp.maximum(w.sum(), 1.0)
+
+    c_other = centroid(other)
+    keep_sub = (jnp.sum((centroid(sub) - c_other) ** 2)
+                <= jnp.sum((centroid(rest) - c_other) ** 2))
+    new_tgt = jnp.where(keep_sub, sub, rest)
+    apply = do & ok
+    new_up = jnp.where(apply & which_up, new_tgt, up)
+    new_down = jnp.where(apply & ~which_up, new_tgt, down)
+    return new_up, new_down
+
+
 def _masked_fps_points(xyz, mask, npoint):
     """Batched FPS restricted to masked points: xyz [B, M, 3],
     mask [B, M] -> gathered [B, npoint, 3]. On TPU this is one fused
@@ -233,10 +273,10 @@ def _twice_masks(ks, cloud, cut, npoint):
 @functools.partial(jax.jit, static_argnames=("npoint", "boundary_k", "mag",
                                              "cut", "split_twice",
                                              "frag_cuts", "mag_randomly",
-                                             "global_mag"))
+                                             "global_mag", "postcut"))
 def make_batch(key, clouds, npoint=NPOINT, boundary_k=128, mag=0.8,
                cut="plane", split_twice=False, frag_cuts=0,
-               mag_randomly=False, global_mag=0.0):
+               mag_randomly=False, global_mag=0.0, postcut=0.0):
     """clouds [B, M, 3] on device -> Batch (the 8-tuple contract).
 
     ``cut`` selects the slicing primitive (matching the category registry's
@@ -263,6 +303,10 @@ def make_batch(key, clouds, npoint=NPOINT, boundary_k=128, mag=0.8,
         raise ValueError(
             "frag_cuts applies to the single-cut path only; it would be "
             "silently ignored under split_twice — pass frag_cuts=0")
+    if postcut and split_twice:
+        raise ValueError(
+            "postcut applies to the single-cut path only; it would be "
+            "silently ignored under split_twice — pass postcut=0")
     B = clouds.shape[0]
     keys = jax.random.split(key, B * 8).reshape(B, 8, 2)
 
@@ -274,7 +318,12 @@ def make_batch(key, clouds, npoint=NPOINT, boundary_k=128, mag=0.8,
             valid = (_precut_valid(ks[5], c, cut, npoint, frag_cuts)
                      if frag_cuts else jnp.ones(c.shape[0], bool))
             u, _ = _partition(ks[0], c, cut, npoint, valid=valid)
-            return u, valid & ~u
+            d = valid & ~u
+            if postcut:
+                # key slot 1 is unused on the single-cut path, so every
+                # other RNG stream (and postcut=0 runs) is unchanged
+                u, d = _postcut_sides(ks[1], c, u, d, cut, npoint, postcut)
+            return u, d
 
         up_mask, down_mask = jax.vmap(per_cloud_sides)(clouds, keys)
         up, down = _masked_fps_multi(clouds, [up_mask, down_mask], npoint)

@@ -431,11 +431,17 @@ class Trainer:
         split_twice = (cfg.random_slice if split_twice is None
                        else split_twice)
         frag_cuts = cfg.frag_cuts
+        postcut = cfg.postcut
         if frag_cuts and split_twice:
             print("WARNING: --frag_cuts only applies to the single-cut "
                   "path; ignored under --random_slice/split_twice",
                   flush=True)
             frag_cuts = 0          # make_batch raises on the combination
+        if postcut and split_twice:
+            print("WARNING: --postcut only applies to the single-cut "
+                  "path; ignored under --random_slice/split_twice",
+                  flush=True)
+            postcut = 0.0          # make_batch raises on the combination
         steps_per_epoch = max(1, n_clouds // cfg.batch_size)
         if pretrain_steps is None:
             pretrain_steps = cfg.pretrain_epochs * steps_per_epoch
@@ -449,7 +455,8 @@ class Trainer:
                                cut=cut, split_twice=split_twice,
                                frag_cuts=frag_cuts, mag=cfg.mag,
                                mag_randomly=cfg.random,
-                               global_mag=cfg.global_pose)
+                               global_mag=cfg.global_pose,
+                               postcut=postcut)
             return train_step(self.model, self.tx, self.flags, pretrain,
                               state, batch)
 
@@ -479,7 +486,8 @@ class Trainer:
                                  split_twice=split_twice,
                                  frag_cuts=frag_cuts, mag=cfg.mag,
                                  mag_randomly=cfg.random,
-                                 global_mag=cfg.global_pose))(key))
+                                 global_mag=cfg.global_pose,
+                                 postcut=postcut))(key))
         state = self.init_state(first)
         if cfg.resume:
             state = self.restore_checkpoint(state, cfg.resume)
@@ -487,7 +495,8 @@ class Trainer:
         viz_batch_fn = jax.jit(functools.partial(
             make_batch, npoint=cfg.num_points, cut=cut,
             split_twice=split_twice, frag_cuts=frag_cuts, mag=cfg.mag,
-            mag_randomly=cfg.random, global_mag=cfg.global_pose))
+            mag_randomly=cfg.random, global_mag=cfg.global_pose,
+            postcut=postcut))
         # periodic validation (the host fit()'s check_val_every_n_epoch
         # cadence, model5_b.py:1172-1277 metrics): one FIXED batch drawn
         # from a held-out key — procedurally fresh cuts/twists the

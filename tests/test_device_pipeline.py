@@ -124,6 +124,89 @@ class TestFragCuts:
         np.testing.assert_array_equal(np.asarray(a.fpc), np.asarray(b.fpc))
 
 
+class TestPostcut:
+    def test_contract_and_partial_coverage(self, clouds):
+        """postcut keeps the batch contract (disjoint subsets of the
+        source cloud) and produces pairs that no longer tile their
+        region: averaged over seeds, the pair union covers less of the
+        source cloud than sibling pairs do."""
+        cl = jnp.asarray(clouds)
+        post = make_batch(jax.random.PRNGKey(5), cl, npoint=NPOINT,
+                          boundary_k=K, cut="plane", postcut=1.0)
+        assert post.fpc.shape == (4, NPOINT, 3)
+        assert float(post.fpc_idx.sum()) == 4 * K
+        for i in range(2):
+            fpc = np.asarray(post.fpc[i])
+            rpc = np.asarray(post.rpc[i])
+            assert _piece_in_cloud(fpc, clouds[i])
+            assert _piece_in_cloud(rpc, clouds[i])
+            d = ((fpc[:, None] - rpc[None]) ** 2).sum(-1)
+            assert d.min() > 0
+
+        def coverage(b):
+            """Mean fraction of source-cloud points within r of the pair
+            union (sibling pairs tile the cloud; postcut pairs leave the
+            re-cut-away region uncovered)."""
+            fr = []
+            for i in range(len(clouds)):
+                pair = np.concatenate(
+                    [np.asarray(b.fpc[i]), np.asarray(b.rpc[i])])
+                d = ((clouds[i][:, None] - pair[None]) ** 2).sum(-1)
+                fr.append((d.min(1) < 0.05 ** 2).mean())
+            return np.mean(fr)
+
+        cov_plain = np.mean([coverage(make_batch(
+            jax.random.PRNGKey(s), cl, npoint=NPOINT, boundary_k=K,
+            cut="plane")) for s in range(4)])
+        cov_post = np.mean([coverage(make_batch(
+            jax.random.PRNGKey(s), cl, npoint=NPOINT, boundary_k=K,
+            cut="plane", postcut=1.0)) for s in range(4)])
+        assert cov_post < cov_plain - 0.05, (cov_post, cov_plain)
+
+    def test_contact_mostly_kept(self, clouds):
+        """The centroid heuristic keeps the re-cut side's half nearer the
+        partner, so most postcut pairs still share an interface (tiny
+        min cross-piece distance)."""
+        cl = jnp.asarray(clouds)
+        mins = []
+        for s in range(4):
+            b = make_batch(jax.random.PRNGKey(s), cl, npoint=NPOINT,
+                           boundary_k=K, cut="plane", postcut=1.0)
+            for i in range(len(clouds)):
+                fpc, rpc = np.asarray(b.fpc[i]), np.asarray(b.rpc[i])
+                d = ((fpc[:, None] - rpc[None]) ** 2).sum(-1)
+                mins.append(np.sqrt(d.min()))
+        assert np.mean(np.asarray(mins) < 0.1) >= 0.6, mins
+
+    def test_composes_with_frag_cuts_and_determinism(self, clouds):
+        cl = jnp.asarray(clouds)
+        a = make_batch(jax.random.PRNGKey(9), cl, npoint=NPOINT,
+                       boundary_k=K, cut="plane", frag_cuts=2, postcut=0.5)
+        b = make_batch(jax.random.PRNGKey(9), cl, npoint=NPOINT,
+                       boundary_k=K, cut="plane", frag_cuts=2, postcut=0.5)
+        np.testing.assert_array_equal(np.asarray(a.fpc), np.asarray(b.fpc))
+        for i in range(2):
+            assert _piece_in_cloud(np.asarray(a.fpc[i]), clouds[i])
+            assert _piece_in_cloud(np.asarray(a.rpc[i]), clouds[i])
+
+    def test_zero_postcut_stream_unchanged(self, clouds):
+        """postcut=0.0 must be bit-identical to the pre-knob pipeline
+        (the knob only touches key slot 1, unused on the single-cut
+        path)."""
+        cl = jnp.asarray(clouds)
+        a = make_batch(jax.random.PRNGKey(7), cl, npoint=NPOINT,
+                       boundary_k=K, cut="plane")
+        b = make_batch(jax.random.PRNGKey(7), cl, npoint=NPOINT,
+                       boundary_k=K, cut="plane", postcut=0.0)
+        np.testing.assert_array_equal(np.asarray(a.mrpc), np.asarray(b.mrpc))
+
+    def test_rejects_split_twice(self, clouds):
+        with pytest.raises(ValueError):
+            make_batch(jax.random.PRNGKey(0), jnp.asarray(clouds),
+                       npoint=NPOINT, boundary_k=K, cut="plane",
+                       split_twice=True, postcut=0.5)
+
+
 class TestMagRandomly:
     def test_twist_amplitude_distribution(self, clouds):
         """--random semantics (RandomTransformSE3(0.8, True),
