@@ -65,6 +65,17 @@ _LAYOUT_T = False    # transposed selection layout: distance tile held as
                      # gathers contract dim0 x dim0 (the rows_dot form).
                      # Outputs are bit-identical to the row-major kernel;
                      # flip only after hardware A/B (see PERFORMANCE.md).
+_LAYOUT_TS = False   # HYBRID layout: transposed selection (the cheap
+                     # sublane-tree reduce of _LAYOUT_T) + ROW-MAJOR
+                     # consumption (the full _LAYOUT_T's transposed
+                     # [N, kb*s] one-hot contractions measured ~10 ms
+                     # slower at model level — see PERFORMANCE.md).
+                     # Each block's winners [kb, s] are transposed back
+                     # to [s, kb] (one tiny int32 transpose per block)
+                     # and the gather/MLP path is identical to the
+                     # row-major pipe kernel, so outputs and saved-idx
+                     # layout are bit-identical to it. Ignored when
+                     # _LAYOUT_T is on; flip only after hardware A/B.
 
 
 def pallas_supported():
@@ -400,6 +411,111 @@ def _sg_kernel_pipe_T(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
         amax_ref[0] = jnp.zeros(amax_ref.shape[1:], jnp.int32)
 
 
+def _sg_kernel_pipe_TS(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
+                       b1_ref, w2_ref, b2_ref, out_ref, idx_ref, amax_ref,
+                       *mask_refs, mmdt=jnp.float32):
+    """Hybrid of :func:`_sg_kernel_pipe` and :func:`_sg_kernel_pipe_T`
+    (_LAYOUT_TS): selection runs TRANSPOSED — the distance tile is built
+    [N, s] and each extraction round min-reduces over the SUBLANE axis, a
+    vreg-shrinking tree (~L/8 + log2(8) combines) instead of the row-major
+    head-row's full-width lane rotate chain (log2(L) shuffle stages over
+    every vreg) — while the gather/MLP/max compute stays ROW-MAJOR: each
+    block's decoded winners [kb, s] are transposed to [s, kb] (one small
+    int32 transpose per block) and consumed exactly like the row-major
+    pipe kernel, avoiding the [N, kb*s] transposed one-hot contractions
+    that made the full _LAYOUT_T slower at model level. Neighbor sets,
+    MLP math, outputs AND the saved [s, k] routing-idx layout are
+    bit-identical to the row-major kernel (same packing bits, same
+    (sublane, chunk) = (lane, chunk) tie rule)."""
+    q = q_ref[0]                      # [s, 3]
+    xyz = xyz_ref[0]                  # [N, 3]
+    feats = feats_ref[0]              # [N, C]
+    w1, b1 = w1_ref[:, :], b1_ref[:, :]
+    w2, b2 = w2_ref[:, :], b2_ref[:, :]
+    s, n = q.shape[0], xyz.shape[0]
+    h1n, h2n = w1.shape[1], w2.shape[1]
+
+    dx = xyz[:, 0:1] - q[:, 0:1].T
+    dy = xyz[:, 1:2] - q[:, 1:2].T
+    dz = xyz[:, 2:3] - q[:, 2:3].T
+    d0T = dx * dx + dy * dy + dz * dz           # [n, s] f32, exact
+
+    lane = lax.broadcasted_iota(jnp.int32, (s, n), 1)
+    kcols = lax.broadcasted_iota(jnp.int32, (s, k), 1)
+
+    cols, meta = topk_stream_init_T(d0T)
+    subsL = lax.broadcasted_iota(jnp.int32, (meta[1], s), 0)
+
+    def next_block(cols):
+        cols, winnersT = topk_stream_next_T(cols, subsL, meta, kb)
+        return cols, jnp.transpose(winnersT)                 # [s, kb]
+
+    cols, winners = next_block(cols)
+
+    # gather precision contract identical to the row-major kernel: xyz via
+    # an f32 one-hot matmul and centered in f32; features bf16
+    catf = feats.astype(jnp.bfloat16)
+    qs = jnp.concatenate([q] * kb, axis=0)                   # [kb*s, 3]
+
+    def consume_block(k0, winners, idx_acc, acc, amax, m1, m2):
+        """Identical to the row-major pipe kernel's consume_block."""
+        ohs = []
+        for j in range(kb):
+            sel = winners[:, j:j + 1]                        # [s, 1]
+            if with_masks:
+                idx_acc = jnp.where(kcols == k0 + j, sel, idx_acc)
+            ohs.append((lane == sel).astype(jnp.float32))
+        oh = jnp.concatenate(ohs, axis=0)                    # [kb*s, n]
+        nbx = _dot(oh, xyz)                                  # [kb*s, 3]
+        nbf = _dot(oh.astype(jnp.bfloat16), catf)            # [kb*s, C]
+        gk = jnp.concatenate([nbx - qs, nbf], axis=1)
+        a1, a2, hv = _mlp2(gk, w1, b1, w2, b2, mmdt)
+        for j in range(kb):
+            rows = slice(j * s, (j + 1) * s)
+            hj = hv[rows]
+            kj = k0 + j
+            if with_masks:
+                amax = jnp.where(hj > acc, kj, amax)
+                bit = (jnp.uint32(1)
+                       << jnp.asarray(kj, jnp.int32).astype(jnp.uint32))
+                m1 = m1 | jnp.where(a1[rows] > 0, bit, jnp.uint32(0))
+                m2 = m2 | jnp.where(a2[rows] > 0, bit, jnp.uint32(0))
+            acc = jnp.maximum(acc, hj)
+        return idx_acc, acc, amax, m1, m2
+
+    mask_shape = (s, h1n) if with_masks else (1, 1)
+    mask_shape2 = (s, h2n) if with_masks else (1, 1)
+    init = (cols, winners,
+            jnp.zeros((s, k) if with_masks else (1, 1), jnp.int32),
+            jnp.full((s, h2n), -jnp.inf, jnp.float32),
+            jnp.zeros((s, h2n) if with_masks else (1, 1), jnp.int32),
+            jnp.zeros(mask_shape, jnp.uint32),
+            jnp.zeros(mask_shape2, jnp.uint32))
+
+    def blk_body(blk, carry):
+        cols, winners, idx_acc, acc, amax, m1, m2 = carry
+        idx_acc, acc, amax, m1, m2 = consume_block(
+            blk * kb, winners, idx_acc, acc, amax, m1, m2)
+        cols, winners = next_block(cols)
+        return (cols, winners, idx_acc, acc, amax, m1, m2)
+
+    nblk = k // kb
+    _, winners, idx_acc, acc, amax, m1, m2 = lax.fori_loop(
+        0, nblk - 1, blk_body, init)
+    idx_acc, acc, amax, m1, m2 = consume_block(
+        (nblk - 1) * kb, winners, idx_acc, acc, amax, m1, m2)
+
+    out_ref[0] = acc
+    if with_masks:
+        idx_ref[0] = idx_acc
+        amax_ref[0] = amax
+        mask_refs[0][0] = m1
+        mask_refs[1][0] = m2
+    else:
+        idx_ref[0] = jnp.zeros(idx_ref.shape[1:], jnp.int32)
+        amax_ref[0] = jnp.zeros(amax_ref.shape[1:], jnp.int32)
+
+
 def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k, with_masks,
                    bf16_mm=False):
     """``with_masks=True`` (the under-grad path) additionally emits the
@@ -471,6 +587,8 @@ def _fused_forward(new_xyz, xyz, feats, w1, b1, w2, b2, k, with_masks,
 
     if layout_t:
         kernel = _sg_kernel_pipe_T
+    elif _LAYOUT_TS and _PIPELINE and sorted_topk_supported(N):
+        kernel = _sg_kernel_pipe_TS      # row-major outputs/specs
     elif _PIPELINE and sorted_topk_supported(N):
         kernel = _sg_kernel_pipe
     else:

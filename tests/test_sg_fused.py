@@ -199,6 +199,43 @@ class TestKernelInterpret:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-5, err_msg=name)
 
+    def test_hybrid_ts_layout_bit_identical(self, interpret_mode,
+                                            monkeypatch):
+        """_LAYOUT_TS (transposed selection + row-major consume) must be
+        BIT-identical to the row-major pipe kernel on every output
+        including the saved idx: both streams pack the same (chunk,
+        within-chunk) identity bits, so winners come out in the same
+        ascending order with the same tie rule."""
+        args = self._kargs(5)
+        monkeypatch.setattr(sg, "_PIPELINE", True)
+        monkeypatch.setattr(sg, "_LAYOUT_T", False)
+        monkeypatch.setattr(sg, "_LAYOUT_TS", False)
+        row = sg._fused_forward(*args, 32, with_masks=True)
+        monkeypatch.setattr(sg, "_LAYOUT_TS", True)
+        hyb = sg._fused_forward(*args, 32, with_masks=True)
+        for i, name in enumerate(("out", "idx", "amax", "m1", "m2")):
+            np.testing.assert_array_equal(np.asarray(row[i]),
+                                          np.asarray(hyb[i]), err_msg=name)
+
+    def test_hybrid_ts_grads_match(self, interpret_mode, monkeypatch):
+        args = self._kargs(6)
+
+        def loss(w1, feats):
+            q, xyz, _, _, b1, w2, b2 = args
+            return jnp.sum(
+                fused_set_abstraction(q, xyz, feats, w1, b1, w2, b2,
+                                      32) ** 2)
+
+        monkeypatch.setattr(sg, "_PIPELINE", True)
+        monkeypatch.setattr(sg, "_LAYOUT_TS", False)
+        g_row = jax.grad(loss, argnums=(0, 1))(args[3], args[2])
+        monkeypatch.setattr(sg, "_LAYOUT_TS", True)
+        g_hyb = jax.grad(loss, argnums=(0, 1))(args[3], args[2])
+        for a, b, name in zip(g_row, g_hyb, ("dw1", "dfeats")):
+            # same saved idx layout -> same backward kernel; identical
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=name)
+
     def test_transposed_nograd_primal(self, interpret_mode, monkeypatch):
         """The serving primal under _LAYOUT_T: same stage output, dummy
         artifacts."""

@@ -206,6 +206,74 @@ class TestPallasSGLayoutT:
             assert len(set(idx[0, :, r].tolist())) == idx.shape[1], r
 
 
+class TestPallasSGLayoutTS:
+    """Hardware parity for the HYBRID layout (_LAYOUT_TS: transposed
+    sublane-tree selection + row-major consume): claims full bit-identity
+    with the row-major pipe kernel INCLUDING the saved idx (same packing
+    bits, same tie rule, same winner order), plus the FTZ duplicate-point
+    class and the in-kernel int32 winners transpose only hardware
+    exercises."""
+
+    _kargs = TestPallasSGLayoutT._kargs
+
+    def test_forward_bit_identical_hw(self, monkeypatch):
+        from puzzlenet_tpu.ops import sg_pallas as sg
+
+        args = self._kargs(21)
+        monkeypatch.setattr(sg, "_PIPELINE", True)
+        monkeypatch.setattr(sg, "_LAYOUT_T", False)
+        monkeypatch.setattr(sg, "_LAYOUT_TS", False)
+        row = sg._fused_forward(*args, 32, with_masks=True)
+        monkeypatch.setattr(sg, "_LAYOUT_TS", True)
+        hyb = sg._fused_forward(*args, 32, with_masks=True)
+        for i, name in enumerate(("out", "idx", "amax", "m1", "m2")):
+            np.testing.assert_array_equal(np.asarray(row[i]),
+                                          np.asarray(hyb[i]), err_msg=name)
+
+    def test_grads_bit_identical_hw(self, monkeypatch):
+        from puzzlenet_tpu.ops import sg_pallas as sg
+
+        args = self._kargs(22)
+
+        def loss(w1, feats):
+            q, xyz, _, _, b1, w2, b2 = args
+            return jnp.sum(sg.fused_set_abstraction(
+                q, xyz, feats, w1, b1, w2, b2, 32) ** 2)
+
+        monkeypatch.setattr(sg, "_PIPELINE", True)
+        monkeypatch.setattr(sg, "_LAYOUT_TS", False)
+        g_row = jax.grad(loss, argnums=(0, 1))(args[3], args[2])
+        monkeypatch.setattr(sg, "_LAYOUT_TS", True)
+        g_hyb = jax.grad(loss, argnums=(0, 1))(args[3], args[2])
+        for a, b, name in zip(g_row, g_hyb, ("dw1", "dfeats")):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=name)
+
+    def test_coincident_points_hw(self, monkeypatch):
+        from puzzlenet_tpu.ops import sg_pallas as sg
+
+        rng = np.random.default_rng(23)
+        b, s, n, c = 1, 256, 512, 64
+        base = rng.normal(size=(b, n // 2, 3)).astype(np.float32)
+        xyz = jnp.asarray(np.concatenate([base, base], axis=1))
+        q = xyz[:, :s]
+        feats = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+        w1 = jnp.asarray(rng.normal(size=(c + 3, 128)).astype(np.float32)
+                         * 0.3)
+        b1 = jnp.zeros(128)
+        w2 = jnp.asarray(rng.normal(size=(128, 128)).astype(np.float32)
+                         * 0.3)
+        b2 = jnp.zeros(128)
+        monkeypatch.setattr(sg, "_PIPELINE", True)
+        monkeypatch.setattr(sg, "_LAYOUT_TS", True)
+        out, idx, amax, m1, m2 = sg._fused_forward(
+            q, xyz, feats, w1, b1, w2, b2, 32, with_masks=True)
+        assert np.isfinite(np.asarray(out)).all()
+        idx = np.asarray(idx)                                  # [B, S, k]
+        for r in range(idx.shape[1]):
+            assert len(set(idx[0, r].tolist())) == idx.shape[2], r
+
+
 class TestSortedTopkNearTies:
     """sorted_topk packs chunk + lane ids into the low mantissa bits of
     the squared distances, so two DISTINCT points whose distances differ
