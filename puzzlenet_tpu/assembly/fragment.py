@@ -10,18 +10,27 @@ each fragment exactly like the dataset pipeline (dataset.py:1147-1163).
 import numpy as np
 
 from ..data.augment import fps_np, random_se3_np
-from ..data.slicers import plane_split
+from ..data.slicers import (cone_split, cylinder_split, plane_split,
+                            sphere_split)
+
+_SPLITTERS = {"plane": plane_split, "sphere": sphere_split,
+              "cylinder": cylinder_split, "cone": cone_split}
 
 
-def fragment_cloud(cloud, k, npoint=1024, rng=None, max_tries=64):
+def fragment_cloud(cloud, k, npoint=1024, rng=None, max_tries=64,
+                   cut="plane"):
     """Cut a whole [M, 3] cloud into ``k`` fragments of ``npoint`` points.
 
-    Recursive splitting: repeatedly plane-split the largest fragment,
-    rejection-looping until both sides keep >= npoint points (falling back
-    to a median cut along the widest axis when the random planes keep
-    failing), then FPS each fragment to npoint.
+    Recursive splitting: repeatedly split the largest fragment with the
+    ``cut`` primitive ('plane'/'sphere'/'cylinder'/'cone' — the same
+    slicers the data path uses, data/slicers.py), rejection-looping until
+    both sides keep >= npoint points (falling back to a median cut along
+    the widest axis when the random cuts keep failing), then FPS each
+    fragment to npoint. Matching ``cut`` to the checkpoint's training
+    category makes curved-fracture reassembly an in-distribution task.
     """
     rng = np.random.default_rng() if rng is None else rng
+    split = _SPLITTERS[cut]
     parts = [np.asarray(cloud, np.float32)]
     while len(parts) < k:
         # try fragments largest-first; accept the first cut that leaves
@@ -30,7 +39,7 @@ def fragment_cloud(cloud, k, npoint=1024, rng=None, max_tries=64):
         for pos, cand in enumerate(parts):
             a = b = None
             for _ in range(max_tries):
-                a, b = plane_split(cand, rng=rng)
+                a, b = split(cand, rng=rng)
                 if len(a) >= npoint and len(b) >= npoint:
                     break
             else:

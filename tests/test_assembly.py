@@ -921,6 +921,27 @@ class TestAssembly:
         assert all(p.shape == (N, 3) for p in pieces)
         assert all(np.isfinite(p).all() for p in pieces)
 
+    @pytest.mark.parametrize("cut", ["sphere", "cylinder", "cone"])
+    def test_fragment_curved_cuts(self, cut):
+        """Curved-cut fragmentation (the vase_cone/-cyl/-sphere
+        categories' assembly analogue): fragments are disjoint subsets
+        of the source cloud with the full [npoint, 3] contract, and no
+        two fragments share a point (the splitters partition)."""
+        from puzzlenet_tpu.assembly import fragment_cloud
+
+        rng = np.random.default_rng(7)
+        u = rng.standard_normal((4 * N, 3)).astype(np.float32)
+        pieces = fragment_cloud(u, 4, npoint=N // 2, rng=rng, cut=cut)
+        assert len(pieces) == 4
+        assert all(p.shape == (N // 2, 3) for p in pieces)
+        src = {tuple(np.round(x, 5)) for x in u}
+        seen = set()
+        for p in pieces:
+            keys = {tuple(np.round(x, 5)) for x in p}
+            assert keys <= src
+            assert not (keys & seen)           # disjoint fragments
+            seen |= keys
+
     def test_fragment_degenerate_duplicate_cloud(self):
         """A cloud of (near-)duplicated coordinates defeats every plane
         cut AND puts all points on one side of the median — the fallback

@@ -46,9 +46,11 @@ def load_model(run_dir, num_points):
                            "batch_stats": state.batch_stats}, cfg
 
 
-def one_problem(family, seed, k, npoint, cache_dir=None):
+def one_problem(family, seed, k, npoint, cache_dir=None, cut="plane"):
     if cache_dir:
-        path = os.path.join(cache_dir, f"{family}_{k}_{seed}_{npoint}.npz")
+        tag = "" if cut == "plane" else f"_{cut}"
+        path = os.path.join(cache_dir,
+                            f"{family}{tag}_{k}_{seed}_{npoint}.npz")
         if os.path.exists(path):
             z = np.load(path)
             if "g0" in z:        # caches from before gts were stored
@@ -62,7 +64,7 @@ def one_problem(family, seed, k, npoint, cache_dir=None):
     # seed offset: evaluation clouds, disjoint from the training seeds
     cloud = synthetic_clouds(family, count=1, n_points=8192,
                              seed=100000 + seed)[0]
-    pieces = fragment_cloud(cloud, k, npoint, rng)
+    pieces = fragment_cloud(cloud, k, npoint, rng, cut=cut)
     scattered, gts = scatter_pieces(pieces, rng)
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
@@ -91,6 +93,11 @@ def main(argv=None):
     p.add_argument("--run_dir", required=True)
     p.add_argument("--family", default=None,
                    help="synthetic family (default: from the run's dataset)")
+    p.add_argument("--cut", default=None,
+                   choices=("plane", "sphere", "cylinder", "cone"),
+                   help="fragmentation cut primitive (default: the run's "
+                        "training category's slicer — curved-cut "
+                        "checkpoints get matching curved fractures)")
     p.add_argument("--k_min", type=int, default=3)
     p.add_argument("--k_max", type=int, default=8)
     p.add_argument("--seeds", type=int, default=20)
@@ -157,13 +164,14 @@ def main(argv=None):
                                         hierarchical_assemble,
                                         spanning_assemble, sync_assemble)
     from puzzlenet_tpu.data.augment import fps_np
-    from puzzlenet_tpu.data.registry import _NAMES
+    from puzzlenet_tpu.data.registry import _NAMES, category_cut
     from puzzlenet_tpu.ops import chamfer_loss
 
     model, variables, cfg = load_model(args.run_dir, args.num_points)
     family = args.family or _NAMES.get(cfg.dataset, (None, "vase"))[1]
+    cut = args.cut or category_cut(cfg.dataset)
     print(f"model: {args.run_dir} (dataset={cfg.dataset}, family={family}, "
-          f"algo={args.algo})")
+          f"cut={cut}, algo={args.algo})")
     assemble = {"greedy": greedy_assemble, "spanning": spanning_assemble,
                 "sync": sync_assemble, "ensemble": ensemble_assemble,
                 "hierarchical": hierarchical_assemble}[args.algo]
@@ -218,7 +226,8 @@ def main(argv=None):
 
     # warmup: compile the padded-8 program pair once (K=k_max slots)
     cloud, scattered, _ = one_problem(family, 0, args.k_min,
-                                      args.num_points, args.cache_dir)
+                                      args.num_points, args.cache_dir,
+                                      cut=cut)
     t0 = time.perf_counter()
     r = assemble(model, variables, scattered, pad_to=args.k_max,
                  refine_iters=args.refine_iters, icp_iters=args.icp_iters)
@@ -230,7 +239,7 @@ def main(argv=None):
         cds, cd0s, walls, rerrs, terrs = [], [], [], [], []
         for seed in range(args.seeds):
             cloud, scattered, gts = one_problem(
-                family, seed, k, args.num_points, args.cache_dir)
+                family, seed, k, args.num_points, args.cache_dir, cut=cut)
             t0 = time.perf_counter()
             r = assemble(model, variables, scattered,
                          pad_to=args.k_max,
@@ -290,6 +299,7 @@ def main(argv=None):
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"run_dir": args.run_dir, "family": family,
+                       "cut": cut,
                        "success_cd": args.success_cd, "algo": args.algo,
                        "refine_iters": args.refine_iters,
                        "icp_iters": args.icp_iters,

@@ -33,7 +33,7 @@ def rot_err(Ra, Rb):
 
 
 def probe(model, variables, family, ks, seeds, npoint, measure_refine=0,
-          tta_gauges=0, tta_mag=0.8):
+          tta_gauges=0, tta_mag=0.8, cut="plane"):
     import jax
     import jax.numpy as jnp
 
@@ -47,7 +47,7 @@ def probe(model, variables, family, ks, seeds, npoint, measure_refine=0,
             rng = np.random.default_rng(seed)
             cloud = synthetic_clouds(family, count=1, n_points=8192,
                                      seed=100000 + seed)[0]
-            pieces = fragment_cloud(cloud, K, npoint, rng)
+            pieces = fragment_cloud(cloud, K, npoint, rng, cut=cut)
             # adjacency threshold scaled to the sampling density: truly
             # adjacent fragments meet at ~one point-spacing across the
             # cut (a fixed constant breaks at other --num_points)
@@ -126,21 +126,28 @@ def main(argv=None):
                    help="gauge-augmented re-measurement rounds (the "
                         "assemblers' tta_gauges knob)")
     p.add_argument("--tta_mag", type=float, default=0.8)
+    p.add_argument("--cut", default=None,
+                   choices=("plane", "sphere", "cylinder", "cone"),
+                   help="fragmentation cut primitive (default: the run's "
+                        "training category's slicer)")
     args = p.parse_args(argv)
 
-    from puzzlenet_tpu.data.registry import _NAMES
+    from puzzlenet_tpu.data.registry import _NAMES, category_cut
     from tools.assembly_bench import load_model
 
     model, variables, cfg = load_model(args.run_dir, args.num_points)
     family = args.family or _NAMES.get(cfg.dataset, (None, "vase"))[1]
+    cut = args.cut or category_cut(cfg.dataset)
     ks = [int(x) for x in args.ks.split(",")]
     rows = probe(model, variables, family, ks, args.seeds, args.num_points,
                  measure_refine=args.measure_refine,
-                 tta_gauges=args.tta_gauges, tta_mag=args.tta_mag)
+                 tta_gauges=args.tta_gauges, tta_mag=args.tta_mag,
+                 cut=cut)
     if args.out:
         import json
         with open(args.out, "w") as f:
             json.dump({"run_dir": args.run_dir, "family": family,
+                       "cut": cut,
                        "measure_refine": args.measure_refine,
                        "tta_gauges": args.tta_gauges,
                        "tta_mag": args.tta_mag,

@@ -100,8 +100,17 @@ def main():
                          "device time — removes the remote-tunnel "
                          "per-dispatch tax from every row")
     ap.add_argument("--loss_mode", type=int, default=1)
+    ap.add_argument("--layout_ts", action="store_true",
+                    help="profile with the _LAYOUT_TS hybrid SG "
+                         "selection layout (ops/sg_pallas.py) for the "
+                         "row-major-vs-hybrid hardware A/B")
     ap.add_argument("--json", default=None)
     ns = ap.parse_args()
+
+    if ns.layout_ts:
+        from puzzlenet_tpu.ops import sg_pallas
+        sg_pallas._LAYOUT_TS = True
+        print("  (SG selection: _LAYOUT_TS hybrid layout)", flush=True)
 
     try:
         jax.config.update("jax_compilation_cache_dir",
