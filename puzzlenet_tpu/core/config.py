@@ -88,6 +88,11 @@ class Config:
     bnd_ce_w: float = 1.0                    # boundary-CE positive-class
                                              # weight (128/1024 imbalance)
     bnd_cd_w: float = 1.0                    # boundary-chamfer/EMD weight
+    bnd_w: float = 1.0                       # whole-boundary-branch weight
+                                             # vs the pose losses (1.0 =
+                                             # reference; lower it where
+                                             # boundary gradients crowd out
+                                             # pose — train/losses.py)
     frag_cuts: int = 0                       # device-data path: pre-restrict
                                              # each cloud to a random
                                              # sub-fragment via r ~ U{0..n}

@@ -55,6 +55,13 @@ class LossFlags(NamedTuple):
     bnd_ce_w: float = 1.0    # positive-class weight in the boundary CE
                              # (128/1024 imbalance; 1.0 = reference parity)
     bnd_cd_w: float = 1.0    # weight on the boundary-chamfer/EMD terms
+    bnd_w: float = 1.0       # weight on the WHOLE boundary branch vs the
+                             # pose losses (1.0 = reference parity). The
+                             # boundary upgrade (--boundary_fp --bnd_ce_w 7)
+                             # costs pose accuracy where boundary gradients
+                             # dominate shared features (cadr r_mae
+                             # 0.54 -> 8.09, PERFORMANCE.md); this knob
+                             # prices that trade explicitly.
 
 
 def _reduce(flags, *xs):
@@ -196,7 +203,7 @@ def compute_losses(out, batch, flags: LossFlags, pretrain: bool):
 
     if not pretrain:
         bterms, bmetrics = _boundary_terms(out, batch, mat, flags)
-        loss = loss + bterms
+        loss = loss + flags.bnd_w * bterms
         metrics.update(bmetrics)
 
     metrics["train_loss"] = loss

@@ -165,7 +165,8 @@ class Trainer:
             loss_mode=cfg.loss_mode, loss_sum=cfg.loss_sum,
             use_emd2=cfg.use_emd2, use_cd2=cfg.use_cd2,
             use_emd3=cfg.use_emd3, log_all=cfg.log_all_losses,
-            bnd_ce_w=cfg.bnd_ce_w, bnd_cd_w=cfg.bnd_cd_w)
+            bnd_ce_w=cfg.bnd_ce_w, bnd_cd_w=cfg.bnd_cd_w,
+            bnd_w=cfg.bnd_w)
         # lazy: SummaryWriter creates event files at construction, and
         # read-only consumers (infer.Session.from_run, cli/test.py,
         # tools/) must not write into — or require write access to — a

@@ -94,6 +94,23 @@ class TestLosses:
         assert float(m["train/loss_g"]) < 1e-5
         assert float(m["train/loss_re"]) < 1e-5
 
+    def test_bnd_w_scales_only_boundary(self, batch, model_out):
+        """bnd_w scales the whole boundary branch and nothing else:
+        total(bnd_w=w) == pose_total + w * (total(1) - pose_total)."""
+        _, _, out = model_out
+        full, _ = compute_losses(out, batch, LossFlags(loss_mode=0),
+                                 pretrain=False)
+        pose, _ = compute_losses(out, batch, LossFlags(loss_mode=0),
+                                 pretrain=True)       # boundary skipped
+        half, m = compute_losses(out, batch,
+                                 LossFlags(loss_mode=0, bnd_w=0.5),
+                                 pretrain=False)
+        np.testing.assert_allclose(
+            float(half), float(pose) + 0.5 * (float(full) - float(pose)),
+            rtol=1e-5)
+        # the logged per-term metrics stay unscaled (diagnostics)
+        assert np.isfinite(float(m["train/loss_fpcb_cel"]))
+
     def test_aux_flags(self, batch, model_out):
         _, _, out = model_out
         flags = LossFlags(loss_mode=0, use_emd2=True, use_cd2=True)
