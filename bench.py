@@ -4,9 +4,12 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N,
    "train_step_ms": N, "train_pairs_per_sec": N, "baseline": {...}}
 
-value        — jitted PuzzleNet forward (pose twist + boundary logits) at
-               batch 64, 1024 points/piece, pairs/sec on the current JAX
-               default device (the real TPU chip under the driver).
+value        — jitted PuzzleNet forward (pose twist + boundary logits),
+               1024 points/piece, pairs/sec on the current JAX default
+               device (the real TPU chip under the driver), at the best
+               serving batch found by a small hill-climb over
+               {64, 128, 256} (per-dispatch overhead amortizes with batch;
+               the per-batch legs are reported alongside).
 vs_baseline  — value / (PyTorch-CPU pairs/sec of an equivalent forward at
                the SAME batch and point count), i.e. the BASELINE.md target
                ratio (goal: >= 10x). The torch baseline is an independent
@@ -206,23 +209,29 @@ def measure_torch_cpu(batch=BATCH, n=NPOINTS, iters=2):
 def cpu_baseline(batch=BATCH, n=NPOINTS):
     """Torch-CPU pairs/s at the SAME (batch, n) as the TPU measurement.
 
-    Measured once and cached with provenance; the cache is invalidated if
-    the shape, torch version, or host changes (so a stale small-batch
-    number can never inflate the ratio)."""
+    Measured once per (batch, n, torch version, host) and cached with
+    provenance; a record is invalidated if any of those change (so a
+    stale small-batch number can never inflate the ratio). The cache
+    file holds a list of records — one per measured batch — and still
+    reads the old single-record format."""
     import torch
 
     prov = {"batch": batch, "n": n, "torch": torch.__version__,
             "host": platform.node(), "cpus": os.cpu_count()}
+    records = []
     if os.path.exists(_CACHE):
         with open(_CACHE) as f:
             cached = json.load(f)
-        if all(cached.get(k) == v for k, v in prov.items()):
-            return cached["pairs_per_sec"], cached
+        records = cached if isinstance(cached, list) else [cached]
+        for rec in records:
+            if all(rec.get(k) == v for k, v in prov.items()):
+                return rec["pairs_per_sec"], rec
     pps = measure_torch_cpu(batch=batch, n=n)
     rec = dict(prov, pairs_per_sec=pps,
                measured_at=time.strftime("%Y-%m-%dT%H:%M:%S"))
+    records.append(rec)
     with open(_CACHE, "w") as f:
-        json.dump(rec, f)
+        json.dump(records, f)
     return pps, rec
 
 
@@ -267,11 +276,10 @@ def measure_train_step(batch=BATCH, n=NPOINTS, iters=10, warmup=2,
 def main():
     _enable_compile_cache()
     v_f32 = measure_tpu()
-    # headline = the better of the two serving dtypes (bf16 = activations
-    # + bf16-operand f32-accum matmuls, the TPU's native rate;
-    # eval-metric deltas vs f32 are documented in PERFORMANCE.md); the
-    # bf16 leg is best-effort so a bf16-only failure can never take down
-    # the whole bench line
+    # batch-64 legs in both serving dtypes (bf16 = activations +
+    # bf16-operand f32-accum matmuls, the TPU's native rate; eval-metric
+    # deltas vs f32 are documented in PERFORMANCE.md); the bf16 leg is
+    # best-effort so a bf16-only failure can never take down the bench
     value, dtype = v_f32, "f32"
     try:
         v_bf16 = measure_tpu(bf16=True)
@@ -279,14 +287,31 @@ def main():
             value, dtype = v_bf16, "bf16"
     except Exception:
         v_bf16 = None
-    baseline, prov = cpu_baseline()
+    # serving-batch hill climb in the winning dtype: per-dispatch overhead
+    # (tunnel + host sync) amortizes with batch, so the best serving
+    # throughput usually sits above batch 64; stop as soon as doubling
+    # stops paying. The baseline ratio stays honest — the torch baseline
+    # is (re)measured at the SAME batch as the headline (cached per batch)
+    best_batch, by_batch = BATCH, {str(BATCH): round(value, 2)}
+    for b in (128, 256):
+        try:
+            vb = measure_tpu(batch=b, bf16=(dtype == "bf16"))
+        except Exception:
+            break
+        by_batch[str(b)] = round(vb, 2)
+        if vb <= value:
+            break
+        value, best_batch = vb, b
+    baseline, prov = cpu_baseline(batch=best_batch)
     line = {
         "metric": "inference_pairs_per_sec_1024pts",
         "value": round(value, 2),
         "unit": "piece-pairs/s/chip",
         "vs_baseline": round(value / baseline, 2),
         "dtype": dtype,
+        "batch": best_batch,
         "pairs_s_f32": round(v_f32, 2),
+        "pairs_s_by_batch": by_batch,
         "baseline": {k: prov[k] for k in
                      ("pairs_per_sec", "batch", "n", "torch")},
     }
