@@ -40,7 +40,7 @@ import jax.numpy as jnp
 
 from .greedy import AssemblyResult, _prepare_slots
 from .spanning import (_mst, _union_fps_jit, measure_all_pairs,
-                       pair_weight)
+                       pair_weight, symmetrize_measurements)
 from .sync import _edge_selection, _score_posed, synchronize_poses
 
 
@@ -152,7 +152,8 @@ def ensemble_assemble(model, variables, pieces, num_points=None,
                       refine_iters=0, icp_iters=0, polish_iters=0,
                       include_greedy=False, repair_iters=0,
                       repair_candidates=3, measure_refine=0, cc_iters=0,
-                      tta_gauges=0, tta_mag=0.8):
+                      tta_gauges=0, tta_mag=0.8, dir_fuse=0.0,
+                      cons_w=0.0):
     """Assemble K fragments by verified hypothesis ensembling (module
     docstring). Same contract as the other assemblers: fragments
     [K, N, 3] (or list of [N, 3]) sharing N; result expressed in the
@@ -206,6 +207,14 @@ def ensemble_assemble(model, variables, pieces, num_points=None,
     strictly better. One extra fixed-shape program; the in-distribution
     closer for the K >= 6 near-miss failure mode.
 
+    ``dir_fuse``/``cons_w``: direction-consistency fusion of the pair
+    measurements before any hypothesis is built
+    (spanning.symmetrize_measurements) — replace both directions of
+    each consistent unordered pair by their chordal mean (``dir_fuse``
+    = agreement gate in degrees; 0 = off) and/or penalize inconsistent
+    pairs' scores by ``cons_w`` x composition residual. Zero extra
+    forwards.
+
     Returns ``AssemblyResult`` with ``merge_order`` = the winning
     hypothesis's edge set (tree edges for mst/swap/greedy hypotheses,
     the sorted kept-edge list for sync-family winners), ``scores`` =
@@ -230,6 +239,12 @@ def ensemble_assemble(model, variables, pieces, num_points=None,
         tta_gauges=tta_gauges, tta_mag=tta_mag)
     mats_np = np.asarray(mats)
     scores_np = np.asarray(scores)
+    if dir_fuse or cons_w:
+        # direction-consistency fusion (spanning.symmetrize_measurements):
+        # every hypothesis below builds from mats_np/scores_np, so fused
+        # measurements improve the MST, its swaps, AND the sync solves
+        mats_np, scores_np, _ = symmetrize_measurements(
+            mats_np, scores_np, pos, k, dir_fuse, cons_w)
 
     weight = pair_weight(scores_np, pos)
 

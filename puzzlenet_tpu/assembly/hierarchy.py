@@ -34,7 +34,8 @@ import numpy as np
 from .ensemble import _verify_per_piece, ensemble_assemble
 from .greedy import AssemblyResult, _prepare_slots
 from .spanning import (_mst, _refine_all_jit, _union_fps_jit,
-                       measure_all_pairs, pair_weight)
+                       measure_all_pairs, pair_weight,
+                       symmetrize_measurements)
 from .sync import _score_posed
 
 
@@ -73,7 +74,7 @@ def hierarchical_assemble(model, variables, pieces, num_points=None,
                           repair_iters=0, polish_iters=0, irls_iters=2,
                           fallback=True, refine_iters=0, icp_iters=0,
                           cc_iters=0, tta_gauges=0, tta_mag=0.8,
-                          beam_cuts=1):
+                          beam_cuts=1, dir_fuse=0.0, cons_w=0.0):
     """Assemble K fragments by recursive bipartition + verified merge
     (module docstring). Same contract as the other assemblers: fragments
     [K, N, 3] (or list of [N, 3]) sharing N; result in the FIRST piece's
@@ -94,6 +95,9 @@ def hierarchical_assemble(model, variables, pieces, num_points=None,
     fully assemble this many of the most balanced MST bipartitions and
     keep the best-verifying result (each extra beam costs one full
     recursive assembly through the same compiled programs).
+    ``dir_fuse``/``cons_w``: direction-consistency fusion
+    (spanning.symmetrize_measurements) of the bipartition measurements,
+    the cluster-cluster merges, and the ensemble leaves' measurements.
     """
     if refine_iters or icp_iters:
         raise ValueError(
@@ -104,7 +108,8 @@ def hierarchical_assemble(model, variables, pieces, num_points=None,
     k = len(pieces)
     kw = dict(measure_refine=measure_refine, repair_iters=repair_iters,
               polish_iters=polish_iters, irls_iters=irls_iters,
-              cc_iters=cc_iters, tta_gauges=tta_gauges, tta_mag=tta_mag)
+              cc_iters=cc_iters, tta_gauges=tta_gauges, tta_mag=tta_mag,
+              dir_fuse=dir_fuse, cons_w=cons_w)
     if k <= base_k:
         return ensemble_assemble(model, variables, pieces,
                                  num_points=num_points, pad_to=pad_to,
@@ -120,6 +125,9 @@ def hierarchical_assemble(model, variables, pieces, num_points=None,
         model, variables, stack, active, idx_i, idx_j, measure_refine,
         tta_gauges=tta_gauges, tta_mag=tta_mag)
     scores_np = np.asarray(scores)
+    if dir_fuse or cons_w:
+        _, scores_np, _ = symmetrize_measurements(
+            np.asarray(mats), scores_np, pos, k, dir_fuse, cons_w)
 
     weight = pair_weight(scores_np, pos)
     tree = _mst(k, weight)
@@ -150,6 +158,10 @@ def hierarchical_assemble(model, variables, pieces, num_points=None,
             model, variables, pair_stack, pair_active, idx_i, idx_j,
             measure_refine, tta_gauges=tta_gauges, tta_mag=tta_mag)
         m2_np, s2_np = np.asarray(m2), np.asarray(s2)
+        if dir_fuse or cons_w:
+            # fuse the two directions of the single cluster-cluster pair
+            m2_np, s2_np, _ = symmetrize_measurements(
+                m2_np, s2_np, pos, 2, dir_fuse, cons_w)
         p_ab, p_ba = pos[(0, 1)], pos[(1, 0)]
         if s2_np[p_ab] <= s2_np[p_ba]:      # fixed = A, moved = B
             m_ab = m2_np[p_ab]

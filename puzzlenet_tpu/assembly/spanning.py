@@ -151,6 +151,76 @@ def _union_fps_jit(stack, poses, active):
     return pts[sel]
 
 
+def _project_so3(m):
+    """Nearest rotation (Frobenius) to a 3x3 matrix via SVD, det +1."""
+    u, _, vt = np.linalg.svd(m)
+    r = u @ vt
+    if np.linalg.det(r) < 0:
+        r = (u * np.array([1.0, 1.0, -1.0])) @ vt
+    return r
+
+
+def symmetrize_measurements(mats_np, scores_np, pos, k, dir_fuse=20.0,
+                            cons_w=0.0):
+    """Fuse each unordered pair's two directional measurements in place
+    of the direction coin flip — at zero extra forwards.
+
+    For pair (i, j) the net is run both ways: ``m_ij`` maps piece j into
+    i's frame, ``m_ji`` maps i into j's. A perfect net gives
+    ``m_ij = inv(m_ji)``, so the composition residual
+    ``ang(m_ij @ m_ji)`` is a free reliability signal. Where the two
+    directions agree within ``dir_fuse`` degrees, both are replaced by
+    their chordal mean (SVD-projected rotation average, arithmetic-mean
+    translation) and both directions get the better fit score: two
+    same-target measurements with independent errors average to a lower
+    error than either, and the direction CHOICE (which the probe data
+    shows trails the oracle direction by 3-6 deg at K >= 6,
+    PERFORMANCE.md) stops mattering for fused pairs. Inconsistent pairs
+    pass through untouched — there the disagreement itself says at least
+    one direction is bad, and the fit score keeps doing the choosing.
+
+    ``cons_w`` > 0 additionally adds ``cons_w * (rotation residual rad +
+    translation residual)`` to BOTH directions' scores, so edge
+    selection (MST / keep_frac) ranks inconsistent pairs below
+    consistent ones even when a bad measurement happens to land a lucky
+    boundary-chamfer fit. (Fit scores are ~1e-3..1e-1; residuals are
+    O(0.1-1), so cons_w ~1e-2 prices a radian of inconsistency like a
+    bad fit.)
+
+    Returns new ``(mats, scores, cons)`` arrays (inputs untouched);
+    ``cons[p]`` is the unordered pair's composition residual (rad +
+    units), +inf for inactive pairs. Padded/inactive pairs (non-finite
+    score in either direction) pass through."""
+    mats = np.array(mats_np, np.float32, copy=True)
+    scores = np.array(scores_np, np.float32, copy=True)
+    cons = np.full(scores.shape, np.inf, np.float32)
+    gate = np.deg2rad(dir_fuse)
+    for i in range(k):
+        for j in range(i + 1, k):
+            p, q = pos[(i, j)], pos[(j, i)]
+            if not (np.isfinite(scores[p]) and np.isfinite(scores[q])):
+                continue
+            comp = mats_np[p] @ mats_np[q]
+            c = (np.trace(comp[:3, :3]) - 1.0) / 2.0
+            ang = float(np.arccos(np.clip(c, -1.0, 1.0)))
+            tn = float(np.linalg.norm(comp[:3, 3]))
+            cons[p] = cons[q] = ang + tn
+            if dir_fuse and ang <= gate:
+                alt = np.linalg.inv(mats_np[q]).astype(np.float32)
+                fused = np.eye(4, dtype=np.float32)
+                fused[:3, :3] = _project_so3(
+                    0.5 * (mats_np[p][:3, :3] + alt[:3, :3]))
+                fused[:3, 3] = 0.5 * (mats_np[p][:3, 3] + alt[:3, 3])
+                mats[p] = fused
+                mats[q] = np.linalg.inv(fused).astype(np.float32)
+                scores[p] = scores[q] = min(scores[p], scores[q])
+            if cons_w:
+                pen = np.float32(cons_w * (ang + tn))
+                scores[p] += pen
+                scores[q] += pen
+    return mats, scores, cons
+
+
 def pair_weight(scores_np, pos):
     """Undirected edge weight = the better-scoring direction. ONE
     definition shared by spanning/sync/ensemble (a drifted re-definition
@@ -186,7 +256,8 @@ def _mst(k, weight):
 
 def spanning_assemble(model, variables, pieces, num_points=None,
                       pad_to=None, refine_iters=0, icp_iters=0,
-                      measure_refine=0, tta_gauges=0, tta_mag=0.8):
+                      measure_refine=0, tta_gauges=0, tta_mag=0.8,
+                      dir_fuse=0.0, cons_w=0.0):
     """Assemble K fragments by pose-graph composition over the pair-score
     minimum spanning tree (module docstring). Same contract as
     ``greedy_assemble``: fragments [K, N, 3] (or list of [N, 3]) sharing
@@ -203,10 +274,18 @@ def spanning_assemble(model, variables, pieces, num_points=None,
     (assembly/icp.py; hurts on rotationally-near-symmetric fracture rims
     — see PERFORMANCE.md — so it is off by default).
 
+    ``dir_fuse``/``cons_w``: direction-consistency fusion of the pair
+    measurements (see :func:`symmetrize_measurements`) — requires the
+    bulk measurement path (no per-edge refine_iters/icp_iters).
+
     Returns ``AssemblyResult`` with ``merge_order`` = the tree edges
     (parent, child), ``transforms``/``scores`` per edge, and
     ``piece_transforms`` the composed per-piece poses.
     """
+    if (dir_fuse or cons_w) and (refine_iters or icp_iters):
+        raise ValueError("dir_fuse/cons_w fuse the bulk measurements; "
+                         "they do not compose with per-edge "
+                         "refine_iters/icp_iters")
     stack, k, pairs, idx_i, idx_j, active = _prepare_slots(
         pieces, num_points, pad_to)
     k0 = stack.shape[0]
@@ -220,6 +299,9 @@ def spanning_assemble(model, variables, pieces, num_points=None,
     # a tunnel round trip); refinement keeps the device-resident mats
     mats_np_all = (np.asarray(mats)
                    if not (refine_iters or icp_iters) else None)
+    if dir_fuse or cons_w:
+        mats_np_all, scores_np, _ = symmetrize_measurements(
+            mats_np_all, scores_np, pos, k, dir_fuse, cons_w)
 
     tree = _mst(k, pair_weight(scores_np, pos))
 

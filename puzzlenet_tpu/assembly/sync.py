@@ -185,7 +185,8 @@ def _edge_selection(k, scores_np, pos, keep_frac=0.6):
 def sync_assemble(model, variables, pieces, num_points=None, pad_to=None,
                   refine_iters=0, icp_iters=0, keep_frac=0.6,
                   sync_iters=0, irls_iters=2, polish_iters=0,
-                  measure_refine=0, tta_gauges=0, tta_mag=0.8):
+                  measure_refine=0, tta_gauges=0, tta_mag=0.8,
+                  dir_fuse=0.0, cons_w=0.0):
     """Assemble K fragments by global pose synchronization over the
     score-weighted pairwise measurement graph (module docstring). Same
     contract as the other assemblers: result in the FIRST piece's frame.
@@ -215,10 +216,19 @@ def sync_assemble(model, variables, pieces, num_points=None, pad_to=None,
     ``polish_iters``: joint pose polish — Adam steps of one se(3)
     correction per piece on the kept edges' predicted-boundary contact
     chamfer (assembly/polish.py; the graph pins the per-pair rim-sliding
-    ambiguity that makes ``icp_iters`` unsafe)."""
-    from .greedy import _icp_refine_jit, _prepare_slots, _refine_jit
-    from .spanning import measure_all_pairs, _union_fps_jit
+    ambiguity that makes ``icp_iters`` unsafe).
 
+    ``dir_fuse``/``cons_w``: direction-consistency fusion
+    (spanning.symmetrize_measurements) — bulk path only (no per-edge
+    refine_iters/icp_iters)."""
+    from .greedy import _icp_refine_jit, _prepare_slots, _refine_jit
+    from .spanning import (measure_all_pairs, symmetrize_measurements,
+                           _union_fps_jit)
+
+    if (dir_fuse or cons_w) and (refine_iters or icp_iters):
+        raise ValueError("dir_fuse/cons_w fuse the bulk measurements; "
+                         "they do not compose with per-edge "
+                         "refine_iters/icp_iters")
     stack, k, pairs, idx_i, idx_j, active = _prepare_slots(
         pieces, num_points, pad_to)
     k0 = stack.shape[0]
@@ -229,12 +239,15 @@ def sync_assemble(model, variables, pieces, num_points=None, pad_to=None,
         tta_gauges=tta_gauges, tta_mag=tta_mag)
     scores_np = np.asarray(scores)
 
-    kept = _edge_selection(k, scores_np, pos, keep_frac)
     # one bulk transfer on the default path: per-edge np.asarray(mats[p])
     # device slices each pay a full tunnel round trip (~17-28 of them at
     # k=8); only per-edge refinement needs the device-resident mats
     mats_np_all = (np.asarray(mats)
                    if not (refine_iters or icp_iters) else None)
+    if dir_fuse or cons_w:
+        mats_np_all, scores_np, _ = symmetrize_measurements(
+            mats_np_all, scores_np, pos, k, dir_fuse, cons_w)
+    kept = _edge_selection(k, scores_np, pos, keep_frac)
     edges, order, edge_mats, edge_scores = [], [], [], []
     for (i, j), (p_sel, inv, s) in sorted(kept.items(),
                                           key=lambda kv: kv[1][2]):

@@ -213,7 +213,8 @@ class Session:
                  algo="spanning", sync_iters=0, grow=False,
                  polish_iters=0, include_greedy=False, repair_iters=0,
                  measure_refine=0, base_k=4, cc_iters=0,
-                 tta_gauges=0, tta_mag=0.8, beam_cuts=1):
+                 tta_gauges=0, tta_mag=0.8, beam_cuts=1, dir_fuse=0.0,
+                 cons_w=0.0):
         """Multi-piece reassembly with this session's weights.
 
         ``algo``: ``"spanning"`` (pose-graph over the pair-score minimum
@@ -250,7 +251,14 @@ class Session:
         refinement rounds of the final poses — re-measure each piece
         against the union of the others, the in-distribution
         fragment/complement presentation (assembly/complement.py);
-        accepted only on strict verification improvement."""
+        accepted only on strict verification improvement.
+        ``dir_fuse``/``cons_w`` (spanning/sync/ensemble/hierarchical):
+        direction-consistency fusion of the pair measurements — replace
+        both directions of each unordered pair that agree within
+        ``dir_fuse`` degrees by their chordal mean, and/or penalize
+        inconsistent pairs' fit scores by ``cons_w`` x composition
+        residual (assembly/spanning.py::symmetrize_measurements). Zero
+        extra forwards."""
         from .assembly import (ensemble_assemble, greedy_assemble,
                                hierarchical_assemble, spanning_assemble,
                                sync_assemble)
@@ -305,6 +313,13 @@ class Session:
                                  " 'sync' or 'ensemble' (greedy re-scores "
                                  "every round; use refine_iters there)")
             kw["measure_refine"] = measure_refine
+        if dir_fuse or cons_w:
+            if algo == "greedy":
+                raise ValueError("dir_fuse/cons_w fuse the batched pair "
+                                 "measurements; greedy re-scores every "
+                                 "round — use another algo")
+            kw["dir_fuse"] = dir_fuse
+            kw["cons_w"] = cons_w
         return fn(self.model, self.variables, pieces,
                   num_points=self.num_points, pad_to=pad_to or None,
                   refine_iters=refine_iters, icp_iters=icp_iters, **kw)

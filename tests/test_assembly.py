@@ -970,3 +970,158 @@ class TestViz:
         viz.save_pts(str(p), pts)
         back = np.loadtxt(str(p))
         np.testing.assert_allclose(back, pts)
+
+
+class TestDirectionFusion:
+    """spanning.symmetrize_measurements: direction-consistency fusion of
+    the two directional measurements of each unordered pair (zero extra
+    forwards; see the probe's chosen-vs-oracle direction gap)."""
+
+    @staticmethod
+    def _tables(k):
+        import itertools
+        pairs = [(i, j) for i, j in itertools.product(range(k), range(k))
+                 if i != j]
+        return pairs, {ij: p for p, ij in enumerate(pairs)}
+
+    @staticmethod
+    def _rt(rotvec_deg, t):
+        from scipy.spatial.transform import Rotation
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] = Rotation.from_rotvec(
+            np.deg2rad(np.asarray(rotvec_deg))).as_matrix()
+        m[:3, 3] = t
+        return m
+
+    def test_antisymmetric_noise_cancels_exactly(self):
+        """m_ij = T E(+w), inv(m_ji) = T E(-w): the chordal mean of the
+        rotations is exactly R_T (the symmetric part projects to I), and
+        the translation mean cancels the +-d offsets."""
+        from puzzlenet_tpu.assembly.spanning import symmetrize_measurements
+
+        _, pos = self._tables(2)
+        T = self._rt([10.0, 20.0, 5.0], [0.2, -0.1, 0.3])
+        E = self._rt([3.0, -2.0, 1.0], [0.0, 0.0, 0.0])   # pure rotation
+        d = np.asarray([0.02, 0.01, -0.03], np.float32)
+        m_ij = (T @ E).astype(np.float32)
+        m_ij[:3, 3] += d
+        alt = (T @ np.linalg.inv(E)).astype(np.float32)
+        alt[:3, 3] -= d
+        mats = np.stack([m_ij, np.linalg.inv(alt).astype(np.float32)])
+        scores = np.asarray([0.02, 0.05], np.float32)
+        fused, fscores, cons = symmetrize_measurements(
+            mats, scores, pos, 2, dir_fuse=20.0)
+        np.testing.assert_allclose(fused[0], T, atol=1e-5)
+        np.testing.assert_allclose(fused[1], np.linalg.inv(T), atol=1e-5)
+        # both directions get the better score
+        np.testing.assert_allclose(fscores, [0.02, 0.02], atol=1e-7)
+        # composition residual reported (2x the 3.7 deg perturbation + 2d)
+        assert np.isfinite(cons[0]) and cons[0] == cons[1]
+        # inputs untouched
+        np.testing.assert_allclose(mats[0], m_ij)
+
+    def test_inconsistent_pair_passes_through(self):
+        from puzzlenet_tpu.assembly.spanning import symmetrize_measurements
+
+        _, pos = self._tables(2)
+        T = self._rt([10.0, 20.0, 5.0], [0.2, -0.1, 0.3])
+        bad = self._rt([45.0, 0.0, 0.0], [0.0, 0.0, 0.0])
+        mats = np.stack([T, np.linalg.inv(T @ bad).astype(np.float32)])
+        scores = np.asarray([0.02, 0.05], np.float32)
+        fused, fscores, _ = symmetrize_measurements(
+            mats, scores, pos, 2, dir_fuse=20.0)
+        np.testing.assert_allclose(fused, mats)
+        np.testing.assert_allclose(fscores, scores)
+
+    def test_cons_w_penalizes_inconsistent_pairs(self):
+        """With cons_w, an inconsistent pair's scores rise by
+        cons_w x (rot residual rad + trans residual) in BOTH directions,
+        so edge selection ranks it below a consistent pair with an equal
+        fit score."""
+        from puzzlenet_tpu.assembly.spanning import symmetrize_measurements
+
+        _, pos = self._tables(3)
+        T = self._rt([10.0, 20.0, 5.0], [0.2, -0.1, 0.3])
+        bad = self._rt([40.0, 0.0, 0.0], [0.0, 0.0, 0.0])
+        # pair (0,1): perfectly consistent; pair (0,2): 40 deg off;
+        # pair (1,2): consistent
+        mats = np.zeros((6, 4, 4), np.float32)
+        p01, p10 = pos[(0, 1)], pos[(1, 0)]
+        p02, p20 = pos[(0, 2)], pos[(2, 0)]
+        p12, p21 = pos[(1, 2)], pos[(2, 1)]
+        mats[p01], mats[p10] = T, np.linalg.inv(T)
+        mats[p02], mats[p20] = T, np.linalg.inv(T @ bad)
+        mats[p12], mats[p21] = T, np.linalg.inv(T)
+        scores = np.full(6, 0.02, np.float32)
+        _, fscores, cons = symmetrize_measurements(
+            mats, scores, pos, 3, dir_fuse=20.0, cons_w=0.1)
+        assert fscores[p02] > fscores[p01]
+        assert fscores[p20] > fscores[p10]
+        np.testing.assert_allclose(fscores[p02] - 0.02,
+                                   0.1 * cons[p02], rtol=1e-4)
+        assert cons[p01] < 1e-5 and cons[p02] > 0.5
+
+    def test_inactive_pairs_untouched(self):
+        from puzzlenet_tpu.assembly.spanning import symmetrize_measurements
+
+        _, pos = self._tables(3)
+        T = self._rt([10.0, 0.0, 0.0], [0.1, 0.0, 0.0])
+        mats = np.tile(np.eye(4, dtype=np.float32), (6, 1, 1))
+        p01, p10 = pos[(0, 1)], pos[(1, 0)]
+        mats[p01], mats[p10] = T, np.linalg.inv(T)
+        scores = np.full(6, np.inf, np.float32)
+        scores[p01], scores[p10] = 0.02, 0.05
+        fused, fscores, cons = symmetrize_measurements(
+            mats, scores, pos, 3, dir_fuse=20.0, cons_w=0.1)
+        # slot 2 is padding: every pair touching it keeps inf + identity
+        for ij in ((0, 2), (2, 0), (1, 2), (2, 1)):
+            assert np.isinf(fscores[pos[ij]])
+            assert np.isinf(cons[pos[ij]])
+            np.testing.assert_allclose(fused[pos[ij]], np.eye(4))
+
+    def test_fused_rotations_stay_rigid(self):
+        """Random noisy-but-consistent pairs: fused blocks are exact
+        rotations (SVD projection), translations finite."""
+        from puzzlenet_tpu.assembly.spanning import symmetrize_measurements
+
+        rng = np.random.default_rng(3)
+        _, pos = self._tables(2)
+        for _ in range(10):
+            T = self._rt(rng.normal(scale=30.0, size=3),
+                         rng.normal(scale=0.3, size=3))
+            E1 = self._rt(rng.normal(scale=3.0, size=3),
+                          rng.normal(scale=0.02, size=3))
+            E2 = self._rt(rng.normal(scale=3.0, size=3),
+                          rng.normal(scale=0.02, size=3))
+            mats = np.stack([
+                (T @ E1).astype(np.float32),
+                np.linalg.inv(T @ E2).astype(np.float32)])
+            scores = np.asarray([0.02, 0.03], np.float32)
+            fused, _, _ = symmetrize_measurements(mats, scores, pos, 2,
+                                                  dir_fuse=25.0)
+            R = fused[0][:3, :3]
+            np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-5)
+            assert np.linalg.det(R) > 0.99
+            np.testing.assert_allclose(fused[1],
+                                       np.linalg.inv(fused[0]), atol=1e-5)
+
+    def test_ensemble_dir_fuse_smoke(self, model_and_pieces):
+        from puzzlenet_tpu.assembly import ensemble_assemble
+
+        model, variables, pieces = model_and_pieces
+        r = ensemble_assemble(model, variables, pieces, num_points=N,
+                              dir_fuse=20.0, cons_w=0.01)
+        assert r.assembled.shape == (N, 3)
+        np.testing.assert_allclose(r.piece_transforms[0], np.eye(4),
+                                   atol=1e-4)
+
+    def test_hierarchical_dir_fuse_smoke(self, model_and_pieces):
+        from puzzlenet_tpu.assembly import hierarchical_assemble
+
+        model, variables, pieces = model_and_pieces
+        quads = pieces + [pieces[0]]
+        r = hierarchical_assemble(model, variables, quads, num_points=N,
+                                  pad_to=4, base_k=2, dir_fuse=20.0)
+        assert r.assembled.shape == (N, 3)
+        np.testing.assert_allclose(r.piece_transforms[0], np.eye(4),
+                                   atol=1e-4)

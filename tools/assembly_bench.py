@@ -158,6 +158,14 @@ def main(argv=None):
                    help="spanning/sync/ensemble: batched composed-"
                         "refinement rounds of ALL pair measurements "
                         "before any solve (assembly/spanning.py)")
+    p.add_argument("--dir_fuse", type=float, default=0.0,
+                   help="direction-consistency fusion gate in degrees: "
+                        "replace both directions of unordered pairs that "
+                        "agree within this angle by their chordal mean "
+                        "(spanning.symmetrize_measurements; 0 = off)")
+    p.add_argument("--cons_w", type=float, default=0.0,
+                   help="add cons_w x direction-composition residual to "
+                        "pair fit scores before edge selection")
     args = p.parse_args(argv)
 
     from puzzlenet_tpu.assembly import (ensemble_assemble, greedy_assemble,
@@ -223,6 +231,12 @@ def main(argv=None):
                     "ensemble/hierarchical")
         assemble = functools.partial(assemble, tta_gauges=args.tta_gauges,
                                      tta_mag=args.tta_mag)
+    if args.dir_fuse or args.cons_w:
+        if args.algo == "greedy":
+            p.error("--dir_fuse/--cons_w require --algo spanning/sync/"
+                    "ensemble/hierarchical")
+        assemble = functools.partial(assemble, dir_fuse=args.dir_fuse,
+                                     cons_w=args.cons_w)
 
     # warmup: compile the padded-8 program pair once (K=k_max slots)
     cloud, scattered, _ = one_problem(family, 0, args.k_min,
@@ -309,6 +323,8 @@ def main(argv=None):
                        "cc_iters": args.cc_iters,
                        "tta_gauges": args.tta_gauges,
                        "tta_mag": args.tta_mag,
+                       "dir_fuse": args.dir_fuse,
+                       "cons_w": args.cons_w,
                        "base_k": args.base_k,
                        "beam_cuts": args.beam_cuts,
                        "keep_frac": args.keep_frac,

@@ -33,7 +33,8 @@ def rot_err(Ra, Rb):
 
 
 def probe(model, variables, family, ks, seeds, npoint, measure_refine=0,
-          tta_gauges=0, tta_mag=0.8, cut="plane"):
+          tta_gauges=0, tta_mag=0.8, cut="plane", dir_fuse=0.0,
+          cons_w=0.0):
     import jax
     import jax.numpy as jnp
 
@@ -77,6 +78,12 @@ def probe(model, variables, family, ks, seeds, npoint, measure_refine=0,
                 tta_mag=tta_mag, tta_seed=seed)
             mats = np.asarray(mats_dev)
             scores = np.asarray(scores)
+            if dir_fuse or cons_w:
+                # the assemblers' direction-consistency fusion — the
+                # probe then reports the error of exactly what a fused
+                # assembler consumes
+                mats, scores, _ = spanning.symmetrize_measurements(
+                    mats, scores, pos, K, dir_fuse, cons_w)
             for i in range(K):
                 for j in range(i + 1, K):
                     if not adj[i, j]:
@@ -126,6 +133,12 @@ def main(argv=None):
                    help="gauge-augmented re-measurement rounds (the "
                         "assemblers' tta_gauges knob)")
     p.add_argument("--tta_mag", type=float, default=0.8)
+    p.add_argument("--dir_fuse", type=float, default=0.0,
+                   help="direction-consistency fusion gate in degrees "
+                        "(the assemblers' dir_fuse knob; 0 = off)")
+    p.add_argument("--cons_w", type=float, default=0.0,
+                   help="consistency score penalty weight (the "
+                        "assemblers' cons_w knob)")
     p.add_argument("--cut", default=None,
                    choices=("plane", "sphere", "cylinder", "cone"),
                    help="fragmentation cut primitive (default: the run's "
@@ -142,7 +155,7 @@ def main(argv=None):
     rows = probe(model, variables, family, ks, args.seeds, args.num_points,
                  measure_refine=args.measure_refine,
                  tta_gauges=args.tta_gauges, tta_mag=args.tta_mag,
-                 cut=cut)
+                 cut=cut, dir_fuse=args.dir_fuse, cons_w=args.cons_w)
     if args.out:
         import json
         with open(args.out, "w") as f:
@@ -151,6 +164,8 @@ def main(argv=None):
                        "measure_refine": args.measure_refine,
                        "tta_gauges": args.tta_gauges,
                        "tta_mag": args.tta_mag,
+                       "dir_fuse": args.dir_fuse,
+                       "cons_w": args.cons_w,
                        "rows": rows}, f, indent=2)
         print("wrote", args.out)
     return rows
