@@ -266,6 +266,11 @@ class Trainer:
                 int(d) for d in os.listdir(path)
                 if d.isdigit() and os.path.isdir(
                     os.path.join(path, d, "default")))
+            if not steps:
+                raise FileNotFoundError(
+                    f"no checkpoint step dirs (<step>/default) under "
+                    f"{path} — pass the run's checkpoints/ dir or a "
+                    f"snapshot dir containing numeric step subdirs")
             step = steps[-1] if step is None else step
             if step not in steps:
                 raise FileNotFoundError(

@@ -44,6 +44,13 @@ def run(iters=30):
 
 res = {}
 assert not sg_pallas._LAYOUT_T and not sg_pallas._LAYOUT_TS
+# fail loudly if the TS kernel would silently fall back to row-major
+# (CPU, or a pipeline/top-k gate miss) — a fallback A/B prints a
+# plausible-looking speedup ~1.0 / bit_identical=true null result
+assert sg_pallas.pallas_supported(), "not on TPU: TS path unreachable"
+assert sg_pallas._PIPELINE, "_PIPELINE off: TS path unreachable"
+assert sg_pallas.sorted_topk_supported(N), \
+    f"sorted_topk gate fails at N={N}: TS path unreachable"
 ms_row, out_row = run()
 res["row_major_ms"] = ms_row
 
