@@ -13,6 +13,7 @@ identical from the slicer down.
 """
 
 import os
+import warnings
 
 import numpy as np
 
@@ -80,6 +81,12 @@ def category_clouds(category, synth_count=64, split="train"):
         # resolves to a DIFFERENT payload (buildings_test.npy) if real
         # whole-cloud files are ever supplied — a split-invariant name
         # would silently evaluate on the training clouds
+        warnings.warn(
+            "'fr' is training on its plane-sliced SYNTHETIC substitute "
+            "(real DublinCity payloads absent). Checkpoints from this run "
+            "target a DIFFERENT task than the real pre-split facade/roof "
+            "category and must be retrained once real payloads appear.",
+            stacklevel=2)
         name, family = "buildings_train.npy", "blob"
     elif category not in _NAMES:
         raise ValueError(f"no whole-cloud stack for category {category!r}")
@@ -148,6 +155,12 @@ def get_dataset(category, random=False, random_slice=False, synth_count=64,
             # _train in the name: _sliced_triple derives the test payload
             # via _train -> _test, a split-invariant name would leak the
             # training clouds into the test split
+            warnings.warn(
+                "'fr' is using its plane-sliced SYNTHETIC substitute "
+                "(real DublinCity payloads absent). Checkpoints from this "
+                "data target a DIFFERENT task than the real pre-split "
+                "facade/roof category and must be retrained once real "
+                "payloads appear.", stacklevel=2)
             tr, va, te = _sliced_triple("buildings_train.npy", "blob",
                                         plane_split, False, synth_count,
                                         num_points=num_points)

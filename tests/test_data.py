@@ -509,3 +509,22 @@ class TestMakeDatasetTool:
         np.save(tmp_path / "buildings_f_train1024.npy",
                 np.zeros((4, 1024, 3), np.float32))
         assert not registry.supports_device_pipeline("fr")
+
+    def test_fr_synthetic_substitute_warns(self, tmp_path, monkeypatch):
+        """Training data for 'fr' on the synthetic substitute warns loudly
+        on BOTH paths (host get_dataset + device category_clouds): a
+        checkpoint trained on the substitute targets a different task
+        than the real pre-split facade/roof category (VERDICT r3 weak #6)."""
+        import warnings
+
+        from puzzlenet_tpu.data import registry
+
+        monkeypatch.setenv("PUZZLENET_DATA_DIR", str(tmp_path))
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            registry.get_dataset("fr", synth_count=4)
+            assert any("SYNTHETIC substitute" in str(x.message) for x in w)
+            n0 = len(w)
+            registry.category_clouds("fr", synth_count=4)
+            assert any("SYNTHETIC substitute" in str(x.message)
+                       for x in w[n0:])
