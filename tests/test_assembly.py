@@ -10,6 +10,8 @@ from puzzlenet_tpu.assembly import greedy_assemble, score_pairs
 from puzzlenet_tpu.data.meshio import plyread
 from puzzlenet_tpu.models import PuzzleNet
 
+pytestmark = pytest.mark.slow  # heavy e2e tier (see conftest.py)
+
 N = 256
 
 

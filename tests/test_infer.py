@@ -4,6 +4,8 @@ dir — padding/chunking, decoded outputs, transform consistency."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e tier (see conftest.py)
+
 
 @pytest.fixture(scope="module")
 def run_dir(tmp_path_factory):

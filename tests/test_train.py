@@ -10,6 +10,8 @@ import numpy as np
 import pytest
 
 from puzzlenet_tpu.core.config import Config
+
+pytestmark = pytest.mark.slow  # heavy e2e tier (see conftest.py)
 from puzzlenet_tpu.core.sharding import make_mesh, shard_batch
 from puzzlenet_tpu.models import PuzzleNet
 from puzzlenet_tpu.semath import se3, transforms
