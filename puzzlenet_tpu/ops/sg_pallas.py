@@ -44,6 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .lanered import (sorted_topk, sorted_topk_supported,
                       topk_stream_init, topk_stream_next,
+                      topk_stream_next2,
                       topk_stream_init_T, topk_stream_next_T,
                       tournament_argmin)
 from .pointops import index_points, knn_indices
@@ -76,6 +77,11 @@ _LAYOUT_TS = False   # HYBRID layout: transposed selection (the cheap
                      # row-major pipe kernel, so outputs and saved-idx
                      # layout are bit-identical to it. Ignored when
                      # _LAYOUT_T is on; flip only after hardware A/B.
+_EXTRACT2 = False    # two-winners-per-reduce extraction in the row-major
+                     # pipe kernel (lanered.topk_stream_next2): one
+                     # halving top-2 tree replaces two serial lane
+                     # min-reduces — bit-identical winners; flip only
+                     # after hardware A/B (tools/sg_ab.py).
 
 
 def pallas_supported():
@@ -237,7 +243,8 @@ def _sg_kernel_pipe(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
 
     cols, meta = topk_stream_init(d0)
     lanesL = lax.broadcasted_iota(jnp.int32, (s, meta[1]), 1)
-    cols, winners = topk_stream_next(cols, lanesL, meta, kb)
+    stream_next = topk_stream_next2 if _EXTRACT2 else topk_stream_next
+    cols, winners = stream_next(cols, lanesL, meta, kb)
 
     # xyz is gathered with an f32 one-hot matmul and centered in f32:
     # casting ABSOLUTE coordinates to bf16 before centering loses up to
@@ -288,7 +295,7 @@ def _sg_kernel_pipe(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
         cols, winners, idx_acc, acc, amax, m1, m2 = carry
         idx_acc, acc, amax, m1, m2 = consume_block(
             blk * kb, winners, idx_acc, acc, amax, m1, m2)
-        cols, winners = topk_stream_next(cols, lanesL, meta, kb)
+        cols, winners = stream_next(cols, lanesL, meta, kb)
         return (cols, winners, idx_acc, acc, amax, m1, m2)
 
     nblk = k // kb

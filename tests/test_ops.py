@@ -249,6 +249,50 @@ class TestSortedTopk:
         want = np.sort(np.argsort(v, axis=1)[:, :32], axis=1)
         np.testing.assert_array_equal(got, want)
 
+    @pytest.mark.parametrize("n,nsteps", [(1024, 8), (1024, 7), (512, 4),
+                                          (256, 3)])
+    def test_pair_extraction_bit_identical(self, n, nsteps):
+        """topk_stream_next2 (two-winners-per-reduce) returns the exact
+        winner sequence of the serial stream — same values, same order —
+        including interleaved incremental draws (the pipe kernel's
+        consumption pattern)."""
+        from jax import lax
+
+        from puzzlenet_tpu.ops.lanered import (topk_stream_init,
+                                               topk_stream_next,
+                                               topk_stream_next2)
+        rng = np.random.default_rng(7)
+        v = (rng.standard_normal((24, n)) ** 2).astype(np.float32)
+        cols, meta = topk_stream_init(jnp.asarray(v))
+        lanes = lax.broadcasted_iota(jnp.int32, (24, meta[1]), 1)
+        c1, c2 = cols, cols
+        for _ in range(3):   # three incremental blocks, like the kernel
+            c1, w1 = topk_stream_next(c1, lanes, meta, nsteps)
+            c2, w2 = topk_stream_next2(c2, lanes, meta, nsteps)
+            np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+
+    def test_pair_extraction_same_lane_winners(self):
+        """Both winners of a pair round living in the SAME lane's sorted
+        column (the shift-by-2 path) drain correctly with no repeats."""
+        from jax import lax
+
+        from puzzlenet_tpu.ops.lanered import (topk_stream_init,
+                                               topk_stream_next2)
+        n, g = 1024, 8
+        L = n // g
+        v = np.full((4, n), 1e6, np.float32)
+        # lane 3's cross-chunk column holds the 8 smallest values, so
+        # every pair round's two winners share a lane until it drains
+        for gi in range(g):
+            v[:, gi * L + 3] = 1.0 + gi
+        v[:, 40:64] = 100.0 + np.arange(24)
+        cols, meta = topk_stream_init(jnp.asarray(v))
+        lanes = lax.broadcasted_iota(jnp.int32, (4, meta[1]), 1)
+        _, w = topk_stream_next2(cols, lanes, meta, 32)
+        got = np.sort(np.asarray(w), axis=1)
+        want = np.sort(np.argsort(v, axis=1)[:, :32], axis=1)
+        np.testing.assert_array_equal(got, want)
+
     def test_in_kernel_matches_unfused_knn(self):
         """End to end through the SG selection contract: sorted_topk on a
         squared-distance matrix selects the same neighbor set as

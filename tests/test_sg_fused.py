@@ -236,6 +236,42 @@ class TestKernelInterpret:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                           err_msg=name)
 
+    def test_extract2_bit_identical(self, interpret_mode, monkeypatch):
+        """_EXTRACT2 (two-winners-per-reduce pair extraction in the
+        row-major pipe kernel) must be BIT-identical on every output
+        including the saved idx: the pair tree returns the serial
+        stream's exact winner sequence (tests/test_ops.py proves the
+        stream; this proves the kernel wiring)."""
+        args = self._kargs(7)
+        monkeypatch.setattr(sg, "_PIPELINE", True)
+        monkeypatch.setattr(sg, "_EXTRACT2", False)
+        row = sg._fused_forward(*args, 32, with_masks=True)
+        monkeypatch.setattr(sg, "_EXTRACT2", True)
+        pair = sg._fused_forward(*args, 32, with_masks=True)
+        for i, name in enumerate(("out", "idx", "amax", "m1", "m2")):
+            np.testing.assert_array_equal(np.asarray(row[i]),
+                                          np.asarray(pair[i]),
+                                          err_msg=name)
+
+    def test_extract2_grads_match(self, interpret_mode, monkeypatch):
+        args = self._kargs(8)
+
+        def loss(w1, feats):
+            q, xyz, _, _, b1, w2, b2 = args
+            return jnp.sum(
+                fused_set_abstraction(q, xyz, feats, w1, b1, w2, b2,
+                                      32) ** 2)
+
+        monkeypatch.setattr(sg, "_PIPELINE", True)
+        monkeypatch.setattr(sg, "_EXTRACT2", False)
+        g_row = jax.grad(loss, argnums=(0, 1))(args[3], args[2])
+        monkeypatch.setattr(sg, "_EXTRACT2", True)
+        g_pair = jax.grad(loss, argnums=(0, 1))(args[3], args[2])
+        for a, b, name in zip(g_row, g_pair, ("dw1", "dfeats")):
+            # same saved idx -> same backward kernel; identical
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=name)
+
     def test_transposed_nograd_primal(self, interpret_mode, monkeypatch):
         """The serving primal under _LAYOUT_T: same stage output, dummy
         artifacts."""
