@@ -104,6 +104,9 @@ def main():
                     help="profile with the _LAYOUT_TS hybrid SG "
                          "selection layout (ops/sg_pallas.py) for the "
                          "row-major-vs-hybrid hardware A/B")
+    ap.add_argument("--extract2", action="store_true",
+                    help="profile with _EXTRACT2 pair extraction "
+                         "(two winners per lane reduce, ops/sg_pallas.py)")
     ap.add_argument("--json", default=None)
     ns = ap.parse_args()
 
@@ -111,6 +114,10 @@ def main():
         from puzzlenet_tpu.ops import sg_pallas
         sg_pallas._LAYOUT_TS = True
         print("  (SG selection: _LAYOUT_TS hybrid layout)", flush=True)
+    if ns.extract2:
+        from puzzlenet_tpu.ops import sg_pallas
+        sg_pallas._EXTRACT2 = True
+        print("  (SG selection: _EXTRACT2 pair extraction)", flush=True)
 
     try:
         jax.config.update("jax_compilation_cache_dir",
