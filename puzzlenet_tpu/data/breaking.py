@@ -21,7 +21,13 @@ from .meshio import read_mesh
 class BreakingDataset:
     def __init__(self, mode="train", config_dir="config", data_dir="data",
                  manifests=("tmp.json", "tiny_only.json"), seed=0,
-                 samples_per_mesh=2000):
+                 samples_per_mesh=2000, cache=False):
+        """``cache=True`` precomputes every item's sampled/FPS'd/boundary-
+        labeled arrays once at init (deterministic per (seed, index), so
+        identical to on-demand generation) — the per-item mesh read +
+        numpy FPS costs ~100 ms on a 1-CPU host, which would starve a
+        TPU training loop if paid per draw; the twist augmentation on
+        top (MovedDataset) stays per-draw either way."""
         self.mode = mode
         self.data_dir = data_dir
         self.seed = seed
@@ -37,6 +43,9 @@ class BreakingDataset:
         if not self.items_list:
             raise FileNotFoundError(
                 f"no Breaking manifests with key {key!r} under {config_dir}")
+        self._cache = None
+        if cache:
+            self._cache = [self._build(i) for i in range(len(self))]
 
     def __len__(self):
         return len(self.items_list)
@@ -49,7 +58,7 @@ class BreakingDataset:
         mesh = read_mesh(os.path.join(self.data_dir, item))
         return mesh.sample_uniform(self.samples_per_mesh, rng=rng)
 
-    def __getitem__(self, index):
+    def _build(self, index):
         rng = np.random.default_rng((self.seed, index))
         item0, item1 = self.items_list[index][0], self.items_list[index][1]
         points1 = fps_np(self._sample(item0, rng), 1024, rng=rng)
@@ -59,8 +68,12 @@ class BreakingDataset:
                 "breaking-bad piece sampled fewer than 1024 points — "
                 "mesh too small for the 1024-point contract")
         fpcb, rpcb, fpc_idx, rpc_idx = get_boundary_np(points1, points2)
-        out = (points2.astype(np.float32), points1.astype(np.float32),
-               fpcb, rpcb, fpc_idx, rpc_idx)
+        return (points2.astype(np.float32), points1.astype(np.float32),
+                fpcb, rpcb, fpc_idx, rpc_idx)
+
+    def __getitem__(self, index):
+        out = (self._cache[index] if self._cache is not None
+               else self._build(index))
         if self.mode == "test":
             return out + (self.items_list[index],)
         return out

@@ -166,9 +166,20 @@ def get_dataset(category, random=False, random_slice=False, synth_count=64,
                                         num_points=num_points)
     elif category == "bbv":
         from .breaking import BreakingDataset
-        tr = BreakingDataset(mode="train")
-        va = BreakingDataset(mode="test")
-        te = BreakingDataset(mode="test")
+
+        # manifests live under <data_dir>/config when PUZZLENET_DATA_DIR
+        # points somewhere (tools/make_breaking.py's layout), else the
+        # reference's ./config default (dataset.py:1008-1099). cache=True:
+        # per-item mesh sampling + numpy FPS is ~100 ms on a 1-CPU host
+        # and the tiny manifests refit in memory — precompute once so the
+        # Loader can feed a TPU step loop.
+        cfg_dir = os.path.join(data_dir(), "config")
+        if not os.path.isdir(cfg_dir):
+            cfg_dir = "config"
+        kw = dict(config_dir=cfg_dir, data_dir=data_dir(), cache=True)
+        tr = BreakingDataset(mode="train", **kw)
+        va = BreakingDataset(mode="test", **kw)
+        te = BreakingDataset(mode="test", **kw)
     elif category in _NAMES:
         name, family, slicer = _NAMES[category]
         tr, va, te = _sliced_triple(name, family, slicer, random_slice,

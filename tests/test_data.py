@@ -384,6 +384,57 @@ class TestRealDataPaths:
         with _pytest.raises(FileNotFoundError):
             BreakingDataset(mode="train", config_dir=str(tmp_path / "nope"))
 
+    def test_make_breaking_generator_end_to_end(self, tmp_path,
+                                                monkeypatch):
+        """tools/make_breaking.py generates a synthetic Breaking-Bad-style
+        layout (fragment OBJs + config/tmp.json) that get_dataset('bbv')
+        consumes through the registry under PUZZLENET_DATA_DIR, including
+        a list-valued merged-group item and the cache path."""
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "tools"))
+        import make_breaking
+
+        out = str(tmp_path / "root")
+        make_breaking.main(["--out", out, "--shapes", "4"])
+        import json as _json
+        with open(os.path.join(out, "config", "tmp.json")) as f:
+            manifest = _json.load(f)
+        assert manifest["train_maps_tiny"] and manifest["test_maps_tiny"]
+        # shape index 2 is the three-way cut -> a merged-group entry
+        assert any(isinstance(it[0], list)
+                   for it in (manifest["train_maps_tiny"]
+                              + manifest["test_maps_tiny"]))
+
+        monkeypatch.setenv("PUZZLENET_DATA_DIR", out)
+        from puzzlenet_tpu.data import registry as D
+        tr, va, te = D.get_dataset("bbv")
+        item = tr[0]
+        assert item[0].shape == (1024, 3) and item[2].shape == (4, 4)
+        assert float(np.asarray(item[6]).sum()) == 128
+        # cache=True through the registry: same base arrays per index
+        np.testing.assert_array_equal(tr.dataset[0][0], tr.dataset[0][0])
+
+    def test_breaking_cache_matches_on_demand(self, tmp_path):
+        import json
+
+        from puzzlenet_tpu.data.breaking import BreakingDataset
+
+        rng = np.random.default_rng(2)
+        cfg_dir = tmp_path / "config"
+        data_dir = tmp_path / "data"
+        cfg_dir.mkdir()
+        data_dir.mkdir()
+        for name, off in (("a.obj", 0.0), ("b.obj", 0.8)):
+            self._write_icosphere_obj(str(data_dir / name), rng, off)
+        with open(cfg_dir / "tmp.json", "w") as f:
+            json.dump({"train_maps_tiny": [["a.obj", "b.obj"]]}, f)
+        kw = dict(config_dir=str(cfg_dir), data_dir=str(data_dir))
+        plain = BreakingDataset(mode="train", **kw)
+        cached = BreakingDataset(mode="train", cache=True, **kw)
+        for a, b in zip(plain[0], cached[0]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_building_dataset_real_npys(self, tmp_path):
         from puzzlenet_tpu.data.datasets import BuildingDataset
 
