@@ -349,6 +349,61 @@ def topk_stream_next_T(cols, subs, meta, nsteps):
     return tuple(cs), jnp.concatenate(winners, axis=0)
 
 
+def _top2_tree_T(a1, a2):
+    """[L, rows] sorted pairs -> ([1, rows], [1, rows]) the two smallest
+    over (sublanes x pair). Halving tree on STATIC sublane slices — the
+    shapes shrink every stage, so no rotates at all (the transposed
+    stream's native advantage)."""
+    L = a1.shape[0]
+    s = L // 2
+    while s >= 1:
+        b1, b2 = a1[s:2 * s], a2[s:2 * s]
+        hi = jnp.maximum(a1[:s], b1)
+        a1 = jnp.minimum(a1[:s], b1)
+        a2 = jnp.minimum(hi, jnp.minimum(a2[:s], b2))
+        s //= 2
+    return a1, a2
+
+
+def _extract_pair_T(cs, subs, g, L, gb):
+    """Transposed twin of :func:`_extract_pair` -> (new columns,
+    [1, rows] gidx1, [1, rows] gidx2)."""
+    m1, m2 = _top2_tree_T(cs[0], cs[1])
+    b1 = lax.bitcast_convert_type(m1, jnp.int32)
+    b2 = lax.bitcast_convert_type(m2, jnp.int32)
+    l1 = (b1 >> gb) & (L - 1)
+    l2 = (b2 >> gb) & (L - 1)
+    gidx1 = (b1 & (g - 1)) * L + l1
+    gidx2 = (b2 & (g - 1)) * L + l2
+    win1 = subs == l1
+    win2 = subs == l2
+    both = win1 & win2
+    sh1 = (win1 | win2) & ~both
+    sent = jnp.full_like(cs[0], _SENTINEL)
+    ncs = []
+    for j in range(g):
+        nxt1 = cs[j + 1] if j + 1 < g else sent
+        nxt2 = cs[j + 2] if j + 2 < g else sent
+        ncs.append(jnp.where(both, nxt2, jnp.where(sh1, nxt1, cs[j])))
+    return ncs, gidx1, gidx2
+
+
+def topk_stream_next2_T(cols, subs, meta, nsteps):
+    """Pair-extraction twin of :func:`topk_stream_next_T` — bit-identical
+    winners, two per tree (odd remainder falls back to one plain
+    round)."""
+    g, L, gb = meta
+    cs = list(cols)
+    winners = []
+    for _ in range(nsteps // 2):
+        cs, g1, g2 = _extract_pair_T(cs, subs, g, L, gb)
+        winners += [g1, g2]
+    if nsteps % 2:
+        cs, g1 = _extract_one_T(cs, subs, g, L, gb)
+        winners.append(g1)
+    return tuple(cs), jnp.concatenate(winners, axis=0)
+
+
 def sorted_topk(d, k, g_max=8, unroll=1):
     """[rows, n] f32 (>= 0, finite) -> [rows, k] int32 indices of the k
     smallest per row, as an unordered set (tie/ulp caveats above). Pure

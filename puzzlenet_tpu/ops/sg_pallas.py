@@ -46,6 +46,7 @@ from .lanered import (sorted_topk, sorted_topk_supported,
                       topk_stream_init, topk_stream_next,
                       topk_stream_next2,
                       topk_stream_init_T, topk_stream_next_T,
+                      topk_stream_next2_T,
                       tournament_argmin)
 from .pointops import index_points, knn_indices
 
@@ -77,11 +78,12 @@ _LAYOUT_TS = False   # HYBRID layout: transposed selection (the cheap
                      # row-major pipe kernel, so outputs and saved-idx
                      # layout are bit-identical to it. Ignored when
                      # _LAYOUT_T is on; flip only after hardware A/B.
-_EXTRACT2 = False    # two-winners-per-reduce extraction in the row-major
-                     # pipe kernel (lanered.topk_stream_next2): one
-                     # halving top-2 tree replaces two serial lane
-                     # min-reduces — bit-identical winners; flip only
-                     # after hardware A/B (tools/sg_ab.py).
+_EXTRACT2 = False    # two-winners-per-reduce extraction (lanered.
+                     # topk_stream_next2 / _next2_T): one halving top-2
+                     # tree replaces two serial reduces — bit-identical
+                     # winners; composes with every layout (row-major,
+                     # _LAYOUT_T, _LAYOUT_TS). Flip only after hardware
+                     # A/B (tools/sg_ab_x2.py).
 
 
 def pallas_supported():
@@ -347,7 +349,8 @@ def _sg_kernel_pipe_T(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
 
     cols, meta = topk_stream_init_T(d0T)
     subsL = lax.broadcasted_iota(jnp.int32, (meta[1], s), 0)
-    cols, winners = topk_stream_next_T(cols, subsL, meta, kb)
+    stream_next_T = topk_stream_next2_T if _EXTRACT2 else topk_stream_next_T
+    cols, winners = stream_next_T(cols, subsL, meta, kb)
 
     # gather precision contract identical to the row-major kernel: xyz via
     # an f32 one-hot contraction and centered in f32; features bf16
@@ -398,7 +401,7 @@ def _sg_kernel_pipe_T(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
         cols, winners, idxT_acc, acc, amax, m1, m2 = carry
         idxT_acc, acc, amax, m1, m2 = consume_block(
             blk * kb, winners, idxT_acc, acc, amax, m1, m2)
-        cols, winners = topk_stream_next_T(cols, subsL, meta, kb)
+        cols, winners = stream_next_T(cols, subsL, meta, kb)
         return (cols, winners, idxT_acc, acc, amax, m1, m2)
 
     nblk = k // kb
@@ -452,9 +455,10 @@ def _sg_kernel_pipe_TS(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
 
     cols, meta = topk_stream_init_T(d0T)
     subsL = lax.broadcasted_iota(jnp.int32, (meta[1], s), 0)
+    stream_next_T = topk_stream_next2_T if _EXTRACT2 else topk_stream_next_T
 
     def next_block(cols):
-        cols, winnersT = topk_stream_next_T(cols, subsL, meta, kb)
+        cols, winnersT = stream_next_T(cols, subsL, meta, kb)
         return cols, jnp.transpose(winnersT)                 # [s, kb]
 
     cols, winners = next_block(cols)

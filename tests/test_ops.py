@@ -271,6 +271,26 @@ class TestSortedTopk:
             c2, w2 = topk_stream_next2(c2, lanes, meta, nsteps)
             np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
 
+    @pytest.mark.parametrize("n,nsteps", [(1024, 8), (1024, 7), (512, 4)])
+    def test_pair_extraction_T_bit_identical(self, n, nsteps):
+        """topk_stream_next2_T matches the serial transposed stream
+        exactly across interleaved incremental draws."""
+        from jax import lax
+
+        from puzzlenet_tpu.ops.lanered import (topk_stream_init_T,
+                                               topk_stream_next_T,
+                                               topk_stream_next2_T)
+        rng = np.random.default_rng(9)
+        v = (rng.standard_normal((24, n)) ** 2).astype(np.float32)
+        vT = jnp.asarray(v.T.copy())
+        cols, meta = topk_stream_init_T(vT)
+        subs = lax.broadcasted_iota(jnp.int32, (meta[1], 24), 0)
+        c1, c2 = cols, cols
+        for _ in range(3):
+            c1, w1 = topk_stream_next_T(c1, subs, meta, nsteps)
+            c2, w2 = topk_stream_next2_T(c2, subs, meta, nsteps)
+            np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+
     def test_pair_extraction_same_lane_winners(self):
         """Both winners of a pair round living in the SAME lane's sorted
         column (the shift-by-2 path) drain correctly with no repeats."""

@@ -272,6 +272,20 @@ class TestKernelInterpret:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                           err_msg=name)
 
+    def test_extract2_composes_with_ts_layout(self, interpret_mode,
+                                              monkeypatch):
+        """_EXTRACT2 + _LAYOUT_TS (pair extraction on the transposed
+        stream) stays bit-identical to the plain row-major kernel."""
+        args = self._kargs(9)
+        monkeypatch.setattr(sg, "_PIPELINE", True)
+        row = sg._fused_forward(*args, 32, with_masks=True)
+        monkeypatch.setattr(sg, "_LAYOUT_TS", True)
+        monkeypatch.setattr(sg, "_EXTRACT2", True)
+        hyb = sg._fused_forward(*args, 32, with_masks=True)
+        for i, name in enumerate(("out", "idx", "amax", "m1", "m2")):
+            np.testing.assert_array_equal(np.asarray(row[i]),
+                                          np.asarray(hyb[i]), err_msg=name)
+
     def test_transposed_nograd_primal(self, interpret_mode, monkeypatch):
         """The serving primal under _LAYOUT_T: same stage output, dummy
         artifacts."""

@@ -43,23 +43,28 @@ def run(iters=30):
 
 
 res = {}
-assert not sg_pallas._EXTRACT2
+assert not sg_pallas._EXTRACT2 and not sg_pallas._LAYOUT_TS
 # fail loudly if the pair path would silently fall back (a fallback A/B
 # prints a plausible-looking speedup ~1.0 / bit_identical=true null)
 assert sg_pallas.pallas_supported(), "not on TPU: kernel path unreachable"
 assert sg_pallas._PIPELINE, "_PIPELINE off: stream path unreachable"
 assert sg_pallas.sorted_topk_supported(N), \
     f"sorted_topk gate fails at N={N}: stream path unreachable"
-ms_ser, out_ser = run()
-res["serial_ms"] = ms_ser
 
-sg_pallas._EXTRACT2 = True
-ms_x2, out_x2 = run()
-res["extract2_ms"] = ms_x2
-sg_pallas._EXTRACT2 = False
+outs = {}
+for name, (ts, x2) in {"row": (False, False), "row_x2": (False, True),
+                       "ts": (True, False), "ts_x2": (True, True)}.items():
+    sg_pallas._LAYOUT_TS, sg_pallas._EXTRACT2 = ts, x2
+    ms, out = run()
+    res[f"{name}_ms"] = ms
+    outs[name] = out
+sg_pallas._LAYOUT_TS = sg_pallas._EXTRACT2 = False
 
-res["bit_identical"] = bool((out_ser == out_x2).all())
-res["speedup"] = ms_ser / ms_x2
+res["bit_identical"] = bool(all((outs["row"] == o).all()
+                                for o in outs.values()))
+res["best"] = min(("row", "row_x2", "ts", "ts_x2"),
+                  key=lambda n: res[f"{n}_ms"])
+res["speedup_best_vs_row"] = res["row_ms"] / res[f"{res['best']}_ms"]
 print(json.dumps(res))
 with open("/root/repo/TRG/sg_ab_x2.json", "w") as f:
     json.dump(res, f)
