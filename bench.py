@@ -34,6 +34,7 @@ train_*      — full jitted training step (loss_mode 1: chamfer +
 import json
 import os
 import platform
+import sys
 import time
 
 BATCH = 64
@@ -122,8 +123,24 @@ def measure_tpu(batch=BATCH, n=NPOINTS, reps=16, timed_calls=5, warmup=1,
         t0 = time.perf_counter()
         sync(chained(variables, fpc, mrpc))
         ts.append((time.perf_counter() - t0) * 1e3)
-    per_rep_ms = max(1e-9, (float(np.median(ts)) - dispatch_ms) / reps)
+    per_rep_ms = _net_ms(float(np.median(ts)), dispatch_ms, reps, "forward")
     return batch / (per_rep_ms * 1e-3)
+
+
+def _net_ms(median_ms, dispatch_ms, reps, label):
+    """Dispatch-floor subtraction with a validity check: the floor is
+    measured once at process start but the relay drifts 1.5-40 ms day to
+    day; if the device work no longer dominates the dispatch floor the
+    subtraction is meaningless, so warn loudly instead of silently
+    clamping to an absurd throughput."""
+    net = median_ms - dispatch_ms
+    if net < 0.2 * median_ms:
+        print(f"WARNING: bench[{label}]: median {median_ms:.1f} ms is "
+              f"dominated by the {dispatch_ms:.1f} ms dispatch floor "
+              "(net < 20% of median) — the floor drifted since it was "
+              "measured; treat this leg as INVALID and re-run.",
+              file=sys.stderr)
+    return max(1e-9, net / reps)
 
 
 def _torch_model(n):
@@ -328,7 +345,7 @@ def measure_train_step(batch=BATCH, n=NPOINTS, reps=10, timed_calls=5,
         state, losses = chained(state, batch_data)
         np.asarray(losses[-1])
         ts.append((time.perf_counter() - t0) * 1e3)
-    step_ms = max(1e-9, (float(np.median(ts)) - dispatch_ms) / reps)
+    step_ms = _net_ms(float(np.median(ts)), dispatch_ms, reps, "train")
     return batch / (step_ms * 1e-3), step_ms
 
 

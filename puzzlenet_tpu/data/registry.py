@@ -178,8 +178,13 @@ def get_dataset(category, random=False, random_slice=False, synth_count=64,
             cfg_dir = "config"
         kw = dict(config_dir=cfg_dir, data_dir=data_dir(), cache=True)
         tr = BreakingDataset(mode="train", **kw)
+        # va and te share one underlying dataset: identical mode/seed/cache,
+        # so a second instance would only duplicate the ~100 ms/item
+        # mesh-sampling+FPS init cost and the cached arrays. The MovedDataset
+        # wrappers below (different seeds) keep the splits' augmentation
+        # distinct.
         va = BreakingDataset(mode="test", **kw)
-        te = BreakingDataset(mode="test", **kw)
+        te = va
     elif category in _NAMES:
         name, family, slicer = _NAMES[category]
         tr, va, te = _sliced_triple(name, family, slicer, random_slice,

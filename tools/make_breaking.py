@@ -114,8 +114,14 @@ def main(argv=None):
     for s in range(ns.shapes):
         verts, faces = bumpy_sphere(rng)
         frags = None
-        while frags is None:
+        tries = 0
+        while frags is None and tries < 100:
             frags = plane_fragments(verts, faces, rng)
+            tries += 1
+        if frags is None:
+            raise RuntimeError(
+                f"shape {s}: no valid primary plane split in 100 tries "
+                "(parameters may make the face-count minimum unreachable)")
         names = []
         # every 3rd shape: cut fragment 0 again -> a 3-piece shape whose
         # pair is ([pieceA, pieceB], pieceC) — the merged-group contract
