@@ -84,6 +84,18 @@ _EXTRACT2 = False    # two-winners-per-reduce extraction (lanered.
                      # winners; composes with every layout (row-major,
                      # _LAYOUT_T, _LAYOUT_TS). Flip only after hardware
                      # A/B (tools/sg_ab_x2.py).
+_BWD_COLLAPSED = False  # collapsed-algebra backward (_sg_bwd_kernel_c):
+                     # folds the one-hot gather into MLP layer 1 via
+                     # associativity (a1 = oh @ (M w1) - q w1x + b1) and
+                     # the input-grad scatter into one accumulated
+                     # contraction (dcat = (sum_b oh_b^T da1_b) w1^T),
+                     # cutting the per-block MXU work from 8 wide
+                     # matmuls (incl. the f32 xyz gather) to 2. Values
+                     # recomputed this way carry different rounding —
+                     # allowed by the routing contract (masks/argmax are
+                     # SAVED; rounding scales gradients, never re-routes
+                     # them). Row-major idx layout only; flip only after
+                     # hardware A/B (tools/sg_bwd_ab.py).
 
 
 def pallas_supported():
@@ -761,6 +773,151 @@ def _sg_bwd_kernel(k, kb, layout_t, q_ref, xyz_ref, feats_ref, w1_ref,
     db2_ref[:, :] = db2_ref[:, :] + db2
 
 
+def _sg_bwd_kernel_c(k, kb, layout_t, q_ref, xyz_ref, feats_ref, w1_ref,
+                     b1_ref, w2_ref, idx_ref, amax_ref, m1_ref, m2_ref,
+                     g_ref, dq_ref, dcat_ref, dw1_ref, db1_ref, dw2_ref,
+                     db2_ref, mmdt=jnp.float32):
+    """Collapsed-algebra backward (_BWD_COLLAPSED) — same routing, fewer
+    and narrower MXU contractions than :func:`_sg_bwd_kernel`.
+
+    The straightforward backward re-gathers neighbors (two one-hot
+    matmuls, one of them f32 for the xyz centering contract), recomputes
+    a1, and scatters dgk back through a third one-hot matmul — per
+    neighbor block, three [kb*s, n]-wide passes plus five narrow ones.
+    This kernel uses two identities instead:
+
+      * gather-into-MLP:  a1 = oh @ (M w1) - q w1[:3] + b1  with
+        M = [xyz | bf16(feats)] — ONE wide matmul per block against the
+        tiny precomputed projection Z = M w1 (the xyz gather, feats
+        gather and layer-1 matmul collapse; the centering term q w1[:3]
+        moves outside the one-hot product);
+      * scatter-through-w1: sum_b oh_b^T (da1_b w1^T) =
+        (sum_b oh_b^T da1_b) w1^T — accumulate U = sum_b oh_b^T da1_b
+        (ONE wide matmul per block) and apply w1^T / M^T once after the
+        loop. dw1 = M^T U - [q^T sum_j da1; 0] and
+        dq = -(sum_j da1) w1[:3]^T follow from gk = oh M - [q | 0].
+
+    Per block that leaves a1 (oh @ Z) and U (+= oh^T da1) as the only
+    wide contractions, both at mmdt rate — the f32 xyz-gather pass is
+    gone entirely. Recomputed VALUES (h1 for dw2, the collapsed a1)
+    carry different rounding than the forward's; the routing contract
+    makes that safe (saved bitmasks/argmax route, rounding only scales).
+    The post-loop reductions (M^T U, q-corrections) run in f32: dw1's
+    xyz rows subtract two near-equal O(cloud-scale) aggregates, and f32
+    operands keep that cancellation at ~1e-6 relative.
+    """
+    del layout_t   # row-major only; _fused_backward gates on it
+    q = q_ref[0]                           # [s, 3]
+    xyz = xyz_ref[0]                       # [n, 3]
+    feats = feats_ref[0]                   # [n, C]
+    w1, b1 = w1_ref[:, :], b1_ref[:, :]
+    w2 = w2_ref[:, :]        # b2 is NOT an input: a2 is never recomputed
+    idxmat = idx_ref[0]                    # [s, K]
+    amax = amax_ref[0]                     # [s, H2] argmax neighbor index
+    m1 = m1_ref[0]                         # [s, H]  relu-support bits
+    m2 = m2_ref[0]                         # [s, H2]
+    g = g_ref[0]                           # [s, H2]
+    s, n = q.shape[0], xyz.shape[0]
+    h1n = w1.shape[1]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    lane = lax.broadcasted_iota(jnp.int32, (s, n), 1)
+    kcols = lax.broadcasted_iota(jnp.int32, (s, k), 1)
+
+    # the forward gathers feats through one bf16 rounding; mirror it
+    catf32 = feats.astype(jnp.bfloat16).astype(jnp.float32)
+    M = jnp.concatenate([xyz, catf32], axis=1)           # [n, c_in]
+    Z = _dot(M.astype(mmdt), w1.astype(mmdt))            # [n, H] f32
+    Zm = Z.astype(mmdt)
+    qproj = _dot(q, w1[:3, :])                           # [s, H] f32
+    qprojs = jnp.concatenate([qproj] * kb, axis=0)       # [kb*s, H]
+
+    @pl.when(j == 0)
+    def _():
+        dcat_ref[0] = jnp.zeros(dcat_ref.shape[1:], jnp.float32)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        dw1_ref[:, :] = jnp.zeros(dw1_ref.shape, jnp.float32)
+        db1_ref[:, :] = jnp.zeros(db1_ref.shape, jnp.float32)
+        dw2_ref[:, :] = jnp.zeros(dw2_ref.shape, jnp.float32)
+        db2_ref[:, :] = jnp.zeros(db2_ref.shape, jnp.float32)
+
+    def rows_dot(a, b):
+        """[R, X]^T . [R, Y] -> [X, Y] (contract the stacked rows)."""
+        return lax.dot_general(a.astype(mmdt), b.astype(mmdt),
+                               dimension_numbers=(((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    def rows_dot_f32(a, b):
+        return lax.dot_general(a, b,
+                               dimension_numbers=(((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    def cols_dot_f32(a, b):
+        """[X, R] . [Y, R]^T -> [X, Y] (contract the trailing dims)."""
+        return lax.dot_general(a, b,
+                               dimension_numbers=(((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    def stack_k(build):
+        return jnp.concatenate([build(jj) for jj in range(kb)], axis=0)
+
+    def blk_body(blk, carry):
+        U, da1sum, dw2, db2 = carry
+        k0 = blk * kb
+        ohs = []
+        for jj in range(kb):
+            sel = jnp.sum(jnp.where(kcols == k0 + jj, idxmat, 0), axis=1,
+                          keepdims=True)                 # [s, 1]
+            ohs.append((lane == sel).astype(mmdt))
+        oh = jnp.concatenate(ohs, axis=0)                # [kb*s, n] mmdt
+        a1 = _dot(oh, Zm) - qprojs + b1                  # [kb*s, H] f32
+        bit1 = stack_k(lambda jj: ((m1 >> (k0 + jj).astype(jnp.uint32))
+                                   & jnp.uint32(1)) > 0)
+        h1 = jnp.where(bit1, a1, 0.0)
+        dh2 = stack_k(lambda jj: jnp.where(amax == k0 + jj, g, 0.0))
+        bit2 = stack_k(lambda jj: ((m2 >> (k0 + jj).astype(jnp.uint32))
+                                   & jnp.uint32(1)) > 0)
+        da2 = jnp.where(bit2, dh2, 0.0)
+        dw2 = dw2 + rows_dot(h1, da2)                    # [H, H2]
+        db2 = db2 + jnp.sum(da2, axis=0, keepdims=True)
+        dh1 = lax.dot_general(da2.astype(mmdt), w2.astype(mmdt),
+                              dimension_numbers=(((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        da1 = jnp.where(bit1, dh1, 0.0)                  # [kb*s, H]
+        U = U + rows_dot(oh, da1)                        # [n, H]
+        da1sum = da1sum + da1
+        return U, da1sum, dw2, db2
+
+    U, da1sum, dw2, db2 = lax.fori_loop(
+        0, k // kb, blk_body,
+        (jnp.zeros((n, h1n), jnp.float32),
+         jnp.zeros((kb * s, h1n), jnp.float32),
+         jnp.zeros(dw2_ref.shape, jnp.float32),
+         jnp.zeros(db2_ref.shape, jnp.float32)))
+
+    # post-loop closures, all small and f32 (see docstring)
+    db1 = jnp.sum(da1sum, axis=0, keepdims=True)         # [1, H]
+    da1c = da1sum[0:s]
+    for jj in range(1, kb):
+        da1c = da1c + da1sum[jj * s:(jj + 1) * s]        # [s, H]
+    qterm = rows_dot_f32(q, da1c)                        # [3, H]
+    dw1 = rows_dot_f32(M, U)                             # [c_in, H]
+    dw1 = dw1 - jnp.concatenate(
+        [qterm, jnp.zeros((dw1.shape[0] - 3, h1n), jnp.float32)], axis=0)
+    dcat = cols_dot_f32(U, w1)                           # [n, c_in]
+    dq = -cols_dot_f32(da1c, w1[:3, :])                  # [s, 3]
+
+    dq_ref[0] = dq
+    dcat_ref[0] = dcat_ref[0] + dcat
+    dw1_ref[:, :] = dw1_ref[:, :] + dw1
+    db1_ref[:, :] = db1_ref[:, :] + db1
+    dw2_ref[:, :] = dw2_ref[:, :] + dw2
+    db2_ref[:, :] = db2_ref[:, :] + db2
+
+
 def _fused_backward(new_xyz, xyz, feats, w1, b1, w2, b2, idx, amax,
                     m1, m2, g, bf16_mm=False):
     B, S, _ = new_xyz.shape
@@ -775,8 +932,10 @@ def _fused_backward(new_xyz, xyz, feats, w1, b1, w2, b2, idx, amax,
     s_blk = min(_S_BLK, S)
     grid = (B, S // s_blk)
 
+    bwd_kernel = (_sg_bwd_kernel_c if _BWD_COLLAPSED and not layout_t
+                  else _sg_bwd_kernel)
     dq, dcat, dw1, db1, dw2, db2 = pl.pallas_call(
-        functools.partial(_sg_bwd_kernel, k, _neighbor_block(k), layout_t,
+        functools.partial(bwd_kernel, k, _neighbor_block(k), layout_t,
                           mmdt=jnp.bfloat16 if bf16_mm else jnp.float32),
         grid=grid,
         in_specs=[

@@ -302,3 +302,77 @@ class TestKernelInterpret:
 def _direct_k(q, xyz, feats, w1, b1, w2, b2, k):
     idx = knn_indices(q, xyz, k)
     return _mlp_max_from_idx(q, xyz, feats, w1, b1, w2, b2, idx)
+
+
+class TestCollapsedBackward:
+    """_BWD_COLLAPSED (_sg_bwd_kernel_c): same saved-artifact routing as
+    the straightforward backward, different matmul association — gradients
+    must agree to accumulation-order tolerance in f32 and to bf16-value
+    tolerance under bf16_mm."""
+
+    def _kargs(self, seed=0):
+        rng = np.random.default_rng(seed)
+        b, s, n, c = 1, 256, 512, 8
+        xyz = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))
+        q = xyz[:, :s]
+        feats = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+        w1 = jnp.asarray(rng.normal(size=(c + 3, 16)).astype(np.float32)
+                         * 0.3)
+        b1 = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.1)
+        w2 = jnp.asarray(rng.normal(size=(16, 16)).astype(np.float32)
+                         * 0.3)
+        b2 = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.1)
+        return q, xyz, feats, w1, b1, w2, b2
+
+    def _grads(self, args, bf16_mm):
+        def loss(q, xyz, feats, w1, b1, w2, b2):
+            return jnp.sum(
+                fused_set_abstraction(q, xyz, feats, w1, b1, w2, b2, 32,
+                                      bf16_mm) ** 2)
+        return jax.grad(loss, argnums=tuple(range(7)))(*args)
+
+    @pytest.mark.parametrize("bf16_mm", [False, True])
+    def test_matches_straightforward_backward(self, interpret_mode,
+                                              monkeypatch, bf16_mm):
+        args = self._kargs(11)
+        monkeypatch.setattr(sg, "_BWD_COLLAPSED", False)
+        ref = self._grads(args, bf16_mm)
+        monkeypatch.setattr(sg, "_BWD_COLLAPSED", True)
+        got = self._grads(args, bf16_mm)
+        # f32: pure re-association noise. bf16: the collapsed a1/U pass
+        # rounds different intermediates than the per-term backward.
+        # Error is judged against each ARRAY's scale: these are summed
+        # contractions (entries ~1e3) whose near-zero entries carry the
+        # sum's absolute noise, so per-element rtol is meaningless there.
+        tol = 1e-5 if not bf16_mm else 2e-2
+        names = ("dq", "dxyz", "dfeats", "dw1", "db1", "dw2", "db2")
+        for a, b, name in zip(ref, got, names):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(1.0, float(np.abs(a).max()))
+            np.testing.assert_allclose(a, b, rtol=0, atol=tol * scale,
+                                       err_msg=name)
+
+    def test_matches_direct_oracle(self, interpret_mode, monkeypatch):
+        """Collapsed backward vs the rounding-matched unfused oracle
+        (same contract as TestKernelInterpret.test_backward_kernel)."""
+        args = self._kargs(12)
+        monkeypatch.setattr(sg, "_BWD_COLLAPSED", True)
+
+        def bf16_direct(q, xyz, feats, w1, b1, w2, b2):
+            fb = feats.astype(jnp.bfloat16).astype(jnp.float32)
+            idx = knn_indices(q, xyz, 32)
+            return _mlp_max_from_idx(q, xyz, fb, w1, b1, w2, b2, idx)
+
+        def loss(impl, w1, feats):
+            q, xyz, _, _, b1, w2, b2 = args
+            return jnp.sum(impl(q, xyz, feats, w1, b1, w2, b2) ** 2)
+
+        fused = lambda *a: fused_set_abstraction(*a, 32)
+        g1a, g2a = jax.grad(lambda w, f: loss(fused, w, f),
+                            argnums=(0, 1))(args[3], args[2])
+        g1b, g2b = jax.grad(lambda w, f: loss(bf16_direct, w, f),
+                            argnums=(0, 1))(args[3], args[2])
+        np.testing.assert_allclose(np.asarray(g1a), np.asarray(g1b),
+                                   rtol=1e-2, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(g2a), np.asarray(g2b),
+                                   rtol=1e-2, atol=1e-2)

@@ -1,0 +1,118 @@
+"""Hardware A/B: collapsed-algebra SG backward (_BWD_COLLAPSED) vs the
+straightforward per-term backward.
+
+Times the fused set-abstraction fwd+bwd at both encoder stage shapes
+(stage 1: B=64, N=1024, S=512, MLP 67->128->128; stage 2: B=64, N=512,
+S=256, MLP 131->256->256), f32 and bf16_mm, old vs collapsed kernel, and
+checks gradient agreement on hardware (scale-aware, the mixed-precision
+value-noise contract of tests/test_sg_fused.py::TestCollapsedBackward).
+Run AFTER any training job (one TPU process at a time). Timing chains
+``iters`` grad calls into the device queue with ONE host-readback sync at
+the end (dispatch overlaps execution; the per-call number is the device
+rate, not the relay), plus a measured empty-queue dispatch floor
+subtraction on the reported per-iter time."""
+import os, sys, time, json
+
+sys.path.insert(0, "/root/repo")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from puzzlenet_tpu.ops import sg_pallas
+
+STAGES = {
+    "stage1": dict(B=64, N=1024, S=512, K=32, C=64, CH=128, CO=128),
+    "stage2": dict(B=64, N=512, S=256, K=32, C=128, CH=256, CO=256),
+}
+
+
+def make_args(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    xyz = jnp.asarray(rng.standard_normal((cfg["B"], cfg["N"], 3),
+                                          dtype=np.float32))
+    q = xyz[:, :cfg["S"]]
+    feats = jnp.asarray(rng.standard_normal((cfg["B"], cfg["N"], cfg["C"]),
+                                            dtype=np.float32))
+    w1 = jnp.asarray(rng.standard_normal((cfg["C"] + 3, cfg["CH"]),
+                                         dtype=np.float32) * 0.05)
+    b1 = jnp.zeros((cfg["CH"],), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((cfg["CH"], cfg["CO"]),
+                                         dtype=np.float32) * 0.05)
+    b2 = jnp.zeros((cfg["CO"],), jnp.float32)
+    return q, xyz, feats, w1, b1, w2, b2
+
+
+def grad_fn(cfg, bf16_mm):
+    K = cfg["K"]
+
+    @jax.jit
+    def f(q, xyz, feats, w1, b1, w2, b2):
+        def loss(q, xyz, feats, w1, b1, w2, b2):
+            out = sg_pallas.fused_set_abstraction(q, xyz, feats, w1, b1,
+                                                  w2, b2, K, bf16_mm)
+            return jnp.sum(out * out)
+        return jax.grad(loss, argnums=(0, 2, 3, 4, 5, 6))(
+            q, xyz, feats, w1, b1, w2, b2)
+    return f
+
+
+def timed(fn, args, iters=30):
+    g = fn(*args)
+    _ = np.asarray(g[0].ravel()[0])          # warm + sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        g = fn(*args)
+    _ = np.asarray(g[0].ravel()[0])
+    dt = (time.perf_counter() - t0) / iters * 1e3
+    return dt, g
+
+
+def dispatch_floor_ms(reps=20):
+    x = jnp.zeros((8, 128), jnp.float32)
+    f = jax.jit(lambda v: v + 1.0)
+    _ = np.asarray(f(x).ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        y = f(x)
+    _ = np.asarray(y.ravel()[0])
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
+def main():
+    assert sg_pallas.pallas_supported() and \
+        jax.default_backend() == "tpu", "not on TPU: A/B meaningless"
+    assert sg_pallas._PIPELINE
+    assert not sg_pallas._LAYOUT_T and not sg_pallas._LAYOUT_TS
+    res = {"dispatch_floor_ms": dispatch_floor_ms()}
+    for stage, cfg in STAGES.items():
+        assert sg_pallas.sorted_topk_supported(cfg["N"])
+        args = make_args(cfg)
+        for bf16_mm in (False, True):
+            fn = grad_fn(cfg, bf16_mm)
+            grads = {}
+            for collapsed in (False, True):
+                sg_pallas._BWD_COLLAPSED = collapsed
+                ms, g = timed(fn, args)
+                key = f"{stage}_{'bf16' if bf16_mm else 'f32'}"
+                res[f"{key}_{'new' if collapsed else 'old'}_ms"] = ms
+                grads[collapsed] = [np.asarray(x) for x in g]
+            sg_pallas._BWD_COLLAPSED = False
+            tol = 2e-2 if bf16_mm else 1e-5
+            worst = 0.0
+            for a, b in zip(grads[False], grads[True]):
+                scale = max(1.0, float(np.abs(a).max()))
+                worst = max(worst, float(np.abs(a - b).max()) / scale)
+            key = f"{stage}_{'bf16' if bf16_mm else 'f32'}"
+            res[f"{key}_grad_rel_err"] = worst
+            res[f"{key}_grad_ok"] = bool(worst <= tol)
+            res[f"{key}_speedup"] = (res[f"{key}_old_ms"]
+                                     / res[f"{key}_new_ms"])
+    print(json.dumps(res, indent=1))
+    with open("/root/repo/TRG/sg_bwd_ab.json", "w") as f:
+        json.dump(res, f)
+
+
+if __name__ == "__main__":
+    main()
