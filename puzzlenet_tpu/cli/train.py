@@ -28,8 +28,11 @@ def main(argv=None):
     print(f"train={len(train_ds)} val={len(val_ds)} test={len(test_ds)}")
 
     trainer = Trainer(cfg)
+    from ..data.registry import supports_device_pairs
+    use_device_pairs = (cfg.device_data is not False
+                        and supports_device_pairs(cfg.dataset))
     use_device_data = cfg.device_data
-    if use_device_data is None:
+    if use_device_data is None and not use_device_pairs:
         # auto: the on-device pipeline is the fast path (one dispatch per
         # step, ~18 ms/batch vs ~135 ms/item host generation) — default to
         # it wherever the category supports it; --host_data opts out
@@ -38,7 +41,20 @@ def main(argv=None):
         if use_device_data:
             print("data path: on-device pipeline (use --host_data for the "
                   "host Loader)")
-    if use_device_data:
+    if use_device_pairs:
+        # fragment-pair categories: geometry precomputed once on the host
+        # (the registry's cached datasets), per-draw twist augmentation on
+        # device — no host Loader in the step loop (~100 ms/item saved)
+        from ..data.registry import category_pairs
+        print("data path: device-resident precomputed pairs "
+              "(use --host_data for the host Loader)")
+        pairs = category_pairs(cfg.dataset)
+        steps = cfg.max_steps or cfg.epochs * max(
+            1, len(train_ds) // cfg.batch_size)
+        state = trainer.fit_device_pairs(pairs, steps,
+                                         log_every=cfg.log_every,
+                                         save_every=cfg.save_every)
+    elif use_device_data:
         # on-device data path: the whole-cloud stack lives on the TPU and
         # every batch (cut + FPS + boundary + twist) is generated under jit
         from ..data.registry import category_clouds

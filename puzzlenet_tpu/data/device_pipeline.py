@@ -386,3 +386,58 @@ def make_batch(key, clouds, npoint=NPOINT, boundary_k=128, mag=0.8,
 
     return Batch(fpc=down, mrpc=mup, igt=igt, rpc=up, fpcb=fpcb, rpcb=rpcb,
                  fpc_idx=fpc_idx, rpc_idx=rpc_idx)
+
+
+@functools.partial(jax.jit, static_argnames=("mag_randomly", "global_mag"))
+def make_pair_batch(key, fpc, rpc, fpcb, rpcb, fpc_idx, rpc_idx, mag=0.8,
+                    mag_randomly=False, global_mag=0.0):
+    """PRECOMPUTED-pair device path: canonical pairs + boundary labels in
+    -> Batch (the 8-tuple contract) with the per-draw augmentation on
+    device.
+
+    Fragment-pair categories (bbv, dataset.py:1008-1099; Precomputed
+    variants) cannot be generated by the cut pipeline — their geometry
+    comes from mesh fragments sampled once on the host (data/breaking.py
+    cache mode, ~100 ms/item on a 1-CPU VM). What IS per-draw is only the
+    rigid augmentation (MovedDataset semantics, datasets.py:232-264):
+    stack the cached items once, keep them device-resident, and apply the
+    twist (and optional ``global_mag`` whole-pair pose — same beyond-
+    reference knob as :func:`make_batch`) under jit. Boundary labels are
+    rigid-canonical exactly like the host path: computed on the unmoved
+    pair, with only ``global_mag`` moving them.
+
+    Key-slot layout matches :func:`make_batch` (slot 6 = global pose,
+    slot 7 = igt twist) so the two paths' augmentation streams share the
+    same derivation structure.
+    """
+    B = fpc.shape[0]
+    keys = jax.random.split(key, B * 8).reshape(B, 8, 2)
+    down, up = fpc, rpc
+
+    if global_mag:
+        def per_gpose(k):
+            k_dir, k_amp = jax.random.split(k)
+            x = jax.random.normal(k_dir, (6,), down.dtype)
+            amp = global_mag * jax.random.uniform(k_amp, (), down.dtype)
+            return x / jnp.linalg.norm(x) * amp
+
+        gpose = se3.exp(jax.vmap(per_gpose)(keys[:, 6]))
+        down = se3.transform_points(gpose, down)
+        up = se3.transform_points(gpose, up)
+        fpcb = se3.transform_points(gpose, fpcb)
+        rpcb = se3.transform_points(gpose, rpcb)
+
+    def per_twist(k):
+        if not mag_randomly:
+            x = jax.random.normal(k, (6,), down.dtype)
+            return x / jnp.linalg.norm(x) * mag
+        k_dir, k_amp = jax.random.split(k)
+        x = jax.random.normal(k_dir, (6,), down.dtype)
+        amp = mag * jax.random.uniform(k_amp, (), down.dtype)
+        return x / jnp.linalg.norm(x) * amp
+
+    twists = jax.vmap(per_twist)(keys[:, 7])
+    igt = se3.exp(twists)
+    mup = se3.transform_points(igt, up)
+    return Batch(fpc=down, mrpc=mup, igt=igt, rpc=up, fpcb=fpcb, rpcb=rpcb,
+                 fpc_idx=fpc_idx, rpc_idx=rpc_idx)

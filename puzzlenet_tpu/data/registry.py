@@ -61,6 +61,37 @@ def supports_device_pipeline(category):
     return category in _NAMES
 
 
+def supports_device_pairs(category):
+    """True for fragment-pair categories whose per-item GEOMETRY is
+    precomputed (host, once) but whose per-draw augmentation can run on
+    device (trainer.fit_device_pairs + device_pipeline.make_pair_batch).
+    Disjoint from supports_device_pipeline: these categories have no
+    whole-cloud stack to slice."""
+    return category == "bbv"
+
+
+def category_pairs(category):
+    """Stack a precomputed-pair category's canonical training items into
+    device-ready arrays (fpc, rpc, fpcb, rpcb, fpc_idx, rpc_idx), each
+    leading dim = n_items — the input of trainer.fit_device_pairs.
+
+    Item layout follows the cache tuple of data/breaking.py::_build
+    (points2, points1, fpcb, rpcb, fpc_idx, rpc_idx) under the
+    MovedDataset unpacking (datasets.py:255-261): points1 is the fixed
+    piece (fpc), points2 the moved one (rpc)."""
+    if not supports_device_pairs(category):
+        raise ValueError(f"no precomputed-pair stack for {category!r}")
+    base = get_dataset(category)[0].dataset      # cached BreakingDataset
+    items = [base[i] for i in range(len(base))]
+    rpc = np.stack([it[0] for it in items]).astype(np.float32)
+    fpc = np.stack([it[1] for it in items]).astype(np.float32)
+    fpcb = np.stack([it[2] for it in items]).astype(np.float32)
+    rpcb = np.stack([it[3] for it in items]).astype(np.float32)
+    fpc_idx = np.stack([it[4] for it in items]).astype(np.float32)
+    rpc_idx = np.stack([it[5] for it in items]).astype(np.float32)
+    return fpc, rpc, fpcb, rpcb, fpc_idx, rpc_idx
+
+
 def category_cut(category):
     """Cut-primitive name for a category ('plane'/'sphere'/'cylinder'/
     'cone') — the device pipeline's static analogue of the registry's

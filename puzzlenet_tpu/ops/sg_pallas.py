@@ -84,6 +84,20 @@ _EXTRACT2 = False    # two-winners-per-reduce extraction (lanered.
                      # winners; composes with every layout (row-major,
                      # _LAYOUT_T, _LAYOUT_TS). Flip only after hardware
                      # A/B (tools/sg_ab_x2.py).
+_FWD_COLLAPSED = False  # collapsed-algebra bf16 forward (inside
+                     # _sg_kernel_pipe, bf16_mm only): per neighbor block,
+                     # the xyz gather (f32), feats gather (bf16) and
+                     # layer-1 matmul collapse into ONE one-hot matmul
+                     # a1 = oh @ Z - q w1x + b1 against a precomputed
+                     # projection Z = [xyz | feats] w1 held as a bf16
+                     # hi/lo PAIR (f32-split), so the gathered projection
+                     # is exact to ~2^-16 — the xyz-centering cancellation
+                     # comes out MORE accurate than the current bf16
+                     # contract (which rounds the centered gk to bf16),
+                     # at ~2.4x less compute-phase MXU work. The f32
+                     # forward (parity contract, ~1e-15 vs reference) is
+                     # untouched. Flip only after hardware A/B
+                     # (tools/sg_bwd_ab.py --fwd).
 _BWD_COLLAPSED = False  # collapsed-algebra backward (_sg_bwd_kernel_c):
                      # folds the one-hot gather into MLP layer 1 via
                      # associativity (a1 = oh @ (M w1) - q w1x + b1) and
@@ -269,20 +283,53 @@ def _sg_kernel_pipe(k, kb, with_masks, q_ref, xyz_ref, feats_ref, w1_ref,
     catf = feats.astype(jnp.bfloat16)
     qs = jnp.concatenate([q] * kb, axis=0)                   # [kb*s, 3]
 
+    fwd_collapsed = _FWD_COLLAPSED and mmdt == jnp.bfloat16
+    if fwd_collapsed:
+        # collapsed bf16 compute phase (_FWD_COLLAPSED): precompute the
+        # per-point layer-1 projection Z = [xyz | feats] w1 ONCE (tiny
+        # [n, c_in] x [c_in, H]) with the xyz rows hi/lo-split so their
+        # bf16 products reconstruct the f32 coordinates, and hold Z
+        # itself as a bf16 hi/lo pair — the per-block gather+layer-1 then
+        # costs ONE [kb*s, n] x [n, 2H] bf16 matmul whose halves sum to
+        # Z[winner] exact to ~2^-16, replacing the f32 xyz gather + bf16
+        # feats gather + layer-1 matmul. Centering moves outside the
+        # one-hot product: a1 = Z[winner] - q w1x + b1 with the SAME
+        # bf16-rounded w1x on both sides of the cancellation.
+        xyzhi = xyz.astype(jnp.bfloat16).astype(jnp.float32)
+        xyzlo = xyz - xyzhi
+        Mhl = jnp.concatenate([xyzhi, xyzlo, catf.astype(jnp.float32)],
+                              axis=1)                        # [n, 6+C]
+        w1e = jnp.concatenate([w1[:3], w1[:3], w1[3:]], axis=0)
+        Zf = _dot(Mhl.astype(jnp.bfloat16), w1e.astype(jnp.bfloat16))
+        Zhi = Zf.astype(jnp.bfloat16)
+        Zlo = (Zf - Zhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        ZHL = jnp.concatenate([Zhi, Zlo], axis=1)            # [n, 2H] bf16
+        w1x = w1[:3, :].astype(jnp.bfloat16).astype(jnp.float32)
+        qprojs = jnp.concatenate([_dot(q, w1x)] * kb, axis=0) - b1
+
     def consume_block(k0, winners, idx_acc, acc, amax, m1, m2):
         """Gather + MLP + max for one block given its decoded winner
         indices [s, kb]; k0 may be traced (loop) or static (epilogue)."""
         ohs = []
+        oh_dt = jnp.bfloat16 if fwd_collapsed else jnp.float32
         for j in range(kb):
             sel = winners[:, j:j + 1]                        # [s, 1]
             if with_masks:       # saved for the backward's routing only
                 idx_acc = jnp.where(kcols == k0 + j, sel, idx_acc)
-            ohs.append((lane == sel).astype(jnp.float32))
+            ohs.append((lane == sel).astype(oh_dt))
         oh = jnp.concatenate(ohs, axis=0)                    # [kb*s, n]
-        nbx = _dot(oh, xyz)                                  # [kb*s, 3]
-        nbf = _dot(oh.astype(jnp.bfloat16), catf)            # [kb*s, C]
-        gk = jnp.concatenate([nbx - qs, nbf], axis=1)
-        a1, a2, hv = _mlp2(gk, w1, b1, w2, b2, mmdt)
+        if fwd_collapsed:
+            zz = _dot(oh, ZHL)                               # [kb*s, 2H]
+            h1n = w1.shape[1]
+            a1 = zz[:, :h1n] + zz[:, h1n:] - qprojs
+            h1 = jnp.maximum(a1, 0.0)
+            a2 = _dot(h1.astype(mmdt), w2.astype(mmdt)) + b2
+            hv = jnp.maximum(a2, 0.0)
+        else:
+            nbx = _dot(oh, xyz)                              # [kb*s, 3]
+            nbf = _dot(oh.astype(jnp.bfloat16), catf)        # [kb*s, C]
+            gk = jnp.concatenate([nbx - qs, nbf], axis=1)
+            a1, a2, hv = _mlp2(gk, w1, b1, w2, b2, mmdt)
         for j in range(kb):
             rows = slice(j * s, (j + 1) * s)
             hj = hv[rows]

@@ -429,10 +429,8 @@ class Trainer:
         from ..data.registry import category_cut
 
         cfg = self.cfg
-        self._start_run()
         clouds = jnp.asarray(clouds)
         n_clouds = clouds.shape[0]
-        key = jax.random.PRNGKey(cfg.seed)
         cut = category_cut(cfg.dataset) if cut is None else cut
         split_twice = (cfg.random_slice if split_twice is None
                        else split_twice)
@@ -453,67 +451,135 @@ class Trainer:
             pretrain_steps = cfg.pretrain_epochs * steps_per_epoch
         pretrain_steps = min(pretrain_steps, steps)
 
-        def one_step(pretrain, state, k):
+        # training batch_fn: one split into (selection, pipeline) keys —
+        # the exact per-step stream the documented bit-deterministic runs
+        # derive from fold_in(key, step)
+        def batch_fn(k):
             k_sel, k_batch = jax.random.split(k)
             sel = jax.random.choice(k_sel, n_clouds, (cfg.batch_size,),
                                     replace=n_clouds < cfg.batch_size)
-            batch = make_batch(k_batch, clouds[sel], npoint=cfg.num_points,
-                               cut=cut, split_twice=split_twice,
-                               frag_cuts=frag_cuts, mag=cfg.mag,
-                               mag_randomly=cfg.random,
-                               global_mag=cfg.global_pose,
-                               postcut=postcut)
-            return train_step(self.model, self.tx, self.flags, pretrain,
-                              state, batch)
+            return make_batch(k_batch, clouds[sel], npoint=cfg.num_points,
+                              cut=cut, split_twice=split_twice,
+                              frag_cuts=frag_cuts, mag=cfg.mag,
+                              mag_randomly=cfg.random,
+                              global_mag=cfg.global_pose,
+                              postcut=postcut)
 
-        @functools.partial(jax.jit, static_argnames=("pretrain", "n_steps"),
-                           donate_argnames=("state",))
-        def chunk_fn(pretrain, n_steps, state):
-            # per-step keys derive from the step counter ON DEVICE (same
-            # fold_in(key, step) stream as before, resume-stable) — the
-            # whole training step is exactly one dispatch per chunk
-            def body(state, _):
-                k = jax.random.fold_in(key, state.step)
-                state, metrics = one_step(pretrain, state, k)
-                return state, metrics["train_loss"]
-            return jax.lax.scan(body, state, None, length=n_steps)
-
-        # init from one eagerly-built batch; sample WITH replacement like
-        # the training path so n_clouds < batch_size still yields a full,
-        # mesh-divisible batch (clouds[:B] would crash shard_batch)
+        # init/viz/val sample WITH replacement like the training path so
+        # n_clouds < batch_size still yields a full, mesh-divisible batch
+        # (clouds[:B] would crash shard_batch); they pass the UNSPLIT key
+        # to both the selection and the pipeline (historical stream,
+        # kept so documented runs stay bit-deterministic)
         def sample_clouds(k):
             sel = jax.random.choice(k, n_clouds, (cfg.batch_size,),
                                     replace=n_clouds < cfg.batch_size)
             return clouds[sel]
 
-        first = shard_batch(self.mesh, jax.jit(
-            lambda k: make_batch(k, sample_clouds(k),
-                                 npoint=cfg.num_points, cut=cut,
-                                 split_twice=split_twice,
-                                 frag_cuts=frag_cuts, mag=cfg.mag,
-                                 mag_randomly=cfg.random,
-                                 global_mag=cfg.global_pose,
-                                 postcut=postcut))(key))
+        def init_fn(k):
+            return make_batch(k, sample_clouds(k), npoint=cfg.num_points,
+                              cut=cut, split_twice=split_twice,
+                              frag_cuts=frag_cuts, mag=cfg.mag,
+                              mag_randomly=cfg.random,
+                              global_mag=cfg.global_pose, postcut=postcut)
+
+        # val stays on the single-cut, canonical-fpc pair distribution
+        # (frag_cuts and global_pose are training-distribution knobs;
+        # default mag) so val metrics remain comparable across runs
+        def val_fn(k):
+            return make_batch(k, sample_clouds(k), npoint=cfg.num_points,
+                              cut=cut, split_twice=split_twice,
+                              mag_randomly=cfg.random)
+
+        return self._device_train_loop(
+            steps, pretrain_steps, steps_per_epoch, batch_fn, init_fn,
+            val_fn, init_fn, log_every, scan_chunk, save_every)
+
+    def fit_device_pairs(self, pairs, steps, val_ds=None, log_every=20,
+                         scan_chunk=1, pretrain_steps=None,
+                         save_every=1000):
+        """TPU-resident training on PRECOMPUTED pairs (fragment-pair
+        categories: bbv & Precomputed variants).
+
+        ``pairs``: tuple of stacked canonical item arrays
+        (fpc [M,N,3], rpc [M,N,3], fpcb [M,k,3], rpcb [M,k,3],
+        fpc_idx [M,N], rpc_idx [M,N]) — data/registry.py
+        ``category_pairs``. Geometry is host-generated ONCE (the
+        fragment sampling cannot be expressed as a cut pipeline); the
+        per-draw rigid augmentation (MovedDataset semantics) runs on
+        device via make_pair_batch, so the step loop has no host data
+        path at all — the same one-dispatch-per-step property as
+        :meth:`fit_device_data`. On the 1-CPU VM this removes the
+        ~100 ms/item host Loader bottleneck that capped bbv training
+        (VERDICT r4 weak #4).
+
+        Validation uses a held-out KEY on the training stack (fresh
+        twists, canonical pose) — fragment sets are small, so the val
+        signal is augmentation-generalization, as on the clouds path.
+        """
+        cfg = self.cfg
+        pairs = tuple(jnp.asarray(p) for p in pairs)
+        n_items = pairs[0].shape[0]
+        steps_per_epoch = max(1, n_items // cfg.batch_size)
+        if pretrain_steps is None:
+            pretrain_steps = cfg.pretrain_epochs * steps_per_epoch
+        pretrain_steps = min(pretrain_steps, steps)
+
+        from ..data.device_pipeline import make_pair_batch
+
+        def batch_fn(k):
+            k_sel, k_batch = jax.random.split(k)
+            sel = jax.random.choice(k_sel, n_items, (cfg.batch_size,),
+                                    replace=n_items < cfg.batch_size)
+            return make_pair_batch(k_batch, *(p[sel] for p in pairs),
+                                   mag=cfg.mag, mag_randomly=cfg.random,
+                                   global_mag=cfg.global_pose)
+
+        def val_fn(k):
+            k_sel, k_batch = jax.random.split(k)
+            sel = jax.random.choice(k_sel, n_items, (cfg.batch_size,),
+                                    replace=n_items < cfg.batch_size)
+            return make_pair_batch(k_batch, *(p[sel] for p in pairs),
+                                   mag_randomly=cfg.random)
+
+        return self._device_train_loop(
+            steps, pretrain_steps, steps_per_epoch, batch_fn, batch_fn,
+            val_fn, batch_fn, log_every, scan_chunk, save_every)
+
+    def _device_train_loop(self, steps, pretrain_steps, steps_per_epoch,
+                           batch_fn, init_fn, val_fn, viz_fn, log_every,
+                           scan_chunk, save_every):
+        """Shared device-resident training loop: per-step keys fold the
+        step counter into cfg.seed's key ON DEVICE (resume-stable), one
+        jit dispatch per chunk, orbax top-2 retention on the window-mean
+        monitor, periodic on-device validation + TB viz. ``batch_fn``/
+        ``init_fn``/``val_fn``/``viz_fn`` map a key to a Batch under
+        jit."""
+        cfg = self.cfg
+        self._start_run()
+        key = jax.random.PRNGKey(cfg.seed)
+
+        @functools.partial(jax.jit, static_argnames=("pretrain", "n_steps"),
+                           donate_argnames=("state",))
+        def chunk_fn(pretrain, n_steps, state):
+            def body(state, _):
+                k = jax.random.fold_in(key, state.step)
+                state, metrics = train_step(self.model, self.tx, self.flags,
+                                            pretrain, state, batch_fn(k))
+                return state, metrics["train_loss"]
+            return jax.lax.scan(body, state, None, length=n_steps)
+
+        first = shard_batch(self.mesh, jax.jit(init_fn)(key))
         state = self.init_state(first)
         if cfg.resume:
             state = self.restore_checkpoint(state, cfg.resume)
 
-        viz_batch_fn = jax.jit(functools.partial(
-            make_batch, npoint=cfg.num_points, cut=cut,
-            split_twice=split_twice, frag_cuts=frag_cuts, mag=cfg.mag,
-            mag_randomly=cfg.random, global_mag=cfg.global_pose,
-            postcut=postcut))
+        viz_batch_fn = jax.jit(viz_fn)
         # periodic validation (the host fit()'s check_val_every_n_epoch
         # cadence, model5_b.py:1172-1277 metrics): one FIXED batch drawn
-        # from a held-out key — procedurally fresh cuts/twists the
-        # training stream never sees. Val stays on the single-cut,
-        # canonical-fpc pair distribution (frag_cuts and global_pose are
-        # training-distribution knobs) so val metrics remain comparable
-        # across runs.
+        # from a held-out key — procedurally fresh augmentation the
+        # training stream never sees.
         val_every = max(1, cfg.check_val_every_n_epoch * steps_per_epoch)
-        val_batch_fn = jax.jit(functools.partial(
-            make_batch, npoint=cfg.num_points, cut=cut,
-            split_twice=split_twice, mag_randomly=cfg.random))
+        val_batch_fn = jax.jit(val_fn)
         val_batch = None
         losses = []
         since_save = []  # device scalars; only reduced at save time
@@ -549,15 +615,14 @@ class Trainer:
             if done % val_every < n or done == steps:
                 if val_batch is None:
                     vk = jax.random.fold_in(key, 0x7FFFFFFF)
-                    val_batch = shard_batch(self.mesh, val_batch_fn(
-                        vk, sample_clouds(vk)))
+                    val_batch = shard_batch(self.mesh, val_batch_fn(vk))
                 vals = eval_step(self.model, pretrain, state, val_batch,
                                  self.flags)
                 for tag, v in vals.items():
                     self.logger.scalar(tag, float(v), done)
             if cfg.viz_every and done % cfg.viz_every < n:
                 vzk = jax.random.fold_in(key, steps + done)
-                viz_batch = viz_batch_fn(vzk, sample_clouds(vzk))
+                viz_batch = viz_batch_fn(vzk)
                 self._viz_train(state, viz_batch, pretrain, done)
                 self._viz_val(state, viz_batch, pretrain, done)
         if not losses:   # resumed at/after the target step: nothing to do

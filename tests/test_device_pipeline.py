@@ -372,3 +372,81 @@ class TestPretrainGate:
         state = tr.fit_device_data(clouds, steps=4, log_every=1,
                                    pretrain_steps=2, save_every=0)
         assert int(state.step) == 4
+
+
+class TestPairBatch:
+    """make_pair_batch: the precomputed-pair device path (bbv & friends)
+    must reproduce MovedDataset's per-draw semantics (datasets.py:232-264)
+    on device: canonical fpc, mrpc = igt . rpc, labels passed through,
+    twist amplitude bounded by mag (scaled by U[0,1) under mag_randomly),
+    global_mag a rigid whole-pair move."""
+
+    def _pairs(self, m=4, n=256, k=32, seed=0):
+        from puzzlenet_tpu.data.boundary import get_boundary_np
+        rng = np.random.default_rng(seed)
+        fpc = rng.normal(size=(m, n, 3)).astype(np.float32)
+        rpc = fpc + rng.normal(size=(m, n, 3)).astype(np.float32) * 0.05
+        fpcb, rpcb, fi, ri = zip(*[get_boundary_np(fpc[i], rpc[i], k)
+                                   for i in range(m)])
+        return (fpc, rpc, np.stack(fpcb), np.stack(rpcb),
+                np.stack(fi), np.stack(ri))
+
+    def test_contract(self):
+        from puzzlenet_tpu.data.device_pipeline import make_pair_batch
+        from puzzlenet_tpu.semath import se3
+        pairs = self._pairs()
+        b = make_pair_batch(jax.random.PRNGKey(0), *map(jnp.asarray, pairs),
+                            mag=0.8)
+        np.testing.assert_array_equal(np.asarray(b.fpc), pairs[0])
+        np.testing.assert_array_equal(np.asarray(b.rpc), pairs[1])
+        np.testing.assert_array_equal(np.asarray(b.fpcb), pairs[2])
+        np.testing.assert_array_equal(np.asarray(b.fpc_idx), pairs[4])
+        # igt contract: mrpc = igt . rpc, fixed-mag twist of norm 0.8
+        np.testing.assert_allclose(
+            np.asarray(b.mrpc),
+            np.asarray(se3.transform_points(b.igt, b.rpc)), atol=1e-6)
+        tw = np.asarray(se3.log(b.igt))
+        np.testing.assert_allclose(np.linalg.norm(tw, axis=-1), 0.8,
+                                   atol=1e-4)
+        # each sample twisted differently
+        assert np.abs(tw[0] - tw[1]).max() > 1e-3
+
+    def test_mag_randomly_bounds(self):
+        from puzzlenet_tpu.data.device_pipeline import make_pair_batch
+        from puzzlenet_tpu.semath import se3
+        pairs = self._pairs(m=8)
+        b = make_pair_batch(jax.random.PRNGKey(1), *map(jnp.asarray, pairs),
+                            mag=0.8, mag_randomly=True)
+        norms = np.linalg.norm(np.asarray(se3.log(b.igt)), axis=-1)
+        assert (norms <= 0.8 + 1e-5).all() and norms.std() > 0.01
+
+    def test_global_mag_rigid(self):
+        from puzzlenet_tpu.data.device_pipeline import make_pair_batch
+        pairs = self._pairs()
+        b = make_pair_batch(jax.random.PRNGKey(2), *map(jnp.asarray, pairs),
+                            mag=0.8, global_mag=0.8)
+        fpc = np.asarray(b.fpc)
+        # fpc moved (not canonical any more) but rigidly: pairwise
+        # distances to its own boundary points are preserved
+        assert np.abs(fpc - pairs[0]).max() > 1e-3
+        d_new = np.linalg.norm(fpc[:, :, None] - np.asarray(b.fpcb)[:, None],
+                               axis=-1)
+        d_old = np.linalg.norm(pairs[0][:, :, None] - pairs[2][:, None],
+                               axis=-1)
+        np.testing.assert_allclose(d_new, d_old, atol=1e-4)
+
+    def test_fit_device_pairs_smoke(self, tmp_path):
+        """End-to-end: tiny fit_device_pairs run steps the model and
+        respects the pretrain gate (same contract as
+        TestPretrainGate.test_fit_device_data_phases)."""
+        from puzzlenet_tpu.core.config import Config
+        from puzzlenet_tpu.train.trainer import Trainer
+
+        cfg = Config(output_path=str(tmp_path / "run"), batch_size=2,
+                     num_points=256, loss_mode=0, pretrain_epochs=1,
+                     dataset="bbv", epochs=1, save_on_epochs=1)
+        pairs = self._pairs(m=2, n=256, k=32)
+        tr = Trainer(cfg)
+        state = tr.fit_device_pairs(pairs, steps=4, log_every=1,
+                                    pretrain_steps=2, save_every=0)
+        assert int(state.step) == 4

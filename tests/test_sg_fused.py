@@ -304,6 +304,73 @@ def _direct_k(q, xyz, feats, w1, b1, w2, b2, k):
     return _mlp_max_from_idx(q, xyz, feats, w1, b1, w2, b2, idx)
 
 
+class TestCollapsedForward:
+    """_FWD_COLLAPSED (bf16-only collapsed compute phase in the pipe
+    kernel): the hi/lo-split projection must track the f32 reference at
+    least as tightly as the plain bf16 gather path, and the f32 path must
+    be bit-unchanged by the flag."""
+
+    def _kargs(self, seed=0):
+        rng = np.random.default_rng(seed)
+        b, s, n, c = 1, 256, 512, 8
+        xyz = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))
+        q = xyz[:, :s]
+        feats = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+        w1 = jnp.asarray(rng.normal(size=(c + 3, 16)).astype(np.float32)
+                         * 0.3)
+        b1 = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.1)
+        w2 = jnp.asarray(rng.normal(size=(16, 16)).astype(np.float32)
+                         * 0.3)
+        b2 = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.1)
+        return q, xyz, feats, w1, b1, w2, b2
+
+    def test_bf16_accuracy_vs_f32(self, interpret_mode, monkeypatch):
+        args = self._kargs(20)
+        want = np.asarray(fused_set_abstraction(*args, 32, False))
+        monkeypatch.setattr(sg, "_FWD_COLLAPSED", False)
+        plain = np.asarray(fused_set_abstraction(*args, 32, True))
+        monkeypatch.setattr(sg, "_FWD_COLLAPSED", True)
+        coll = np.asarray(fused_set_abstraction(*args, 32, True))
+        err_plain = np.abs(plain - want).max()
+        err_coll = np.abs(coll - want).max()
+        # strictly-better-or-equal precision claim, with slack for
+        # max-winner flips on near-ties
+        assert err_coll <= err_plain * 1.5 + 1e-3, (err_coll, err_plain)
+        np.testing.assert_allclose(coll, want, rtol=2e-2, atol=2e-2)
+
+    def test_f32_path_bit_unchanged(self, interpret_mode, monkeypatch):
+        args = self._kargs(21)
+        monkeypatch.setattr(sg, "_FWD_COLLAPSED", False)
+        a = sg._fused_forward(*args, 32, with_masks=True)
+        monkeypatch.setattr(sg, "_FWD_COLLAPSED", True)
+        b = sg._fused_forward(*args, 32, with_masks=True)
+        for x, y, name in zip(a, b, ("out", "idx", "amax", "m1", "m2")):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                          err_msg=name)
+
+    def test_bf16_grads_consistent(self, interpret_mode, monkeypatch):
+        """VJP through the collapsed bf16 forward: masks are emitted by
+        the collapsed a1 itself, so routing is self-consistent and
+        gradients stay within bf16 value noise of the plain path."""
+        args = self._kargs(22)
+
+        def loss(w1, feats):
+            q, xyz, _, _, b1, w2, b2 = args
+            return jnp.sum(
+                fused_set_abstraction(q, xyz, feats, w1, b1, w2, b2, 32,
+                                      True) ** 2)
+
+        monkeypatch.setattr(sg, "_FWD_COLLAPSED", False)
+        ga = jax.grad(loss, argnums=(0, 1))(args[3], args[2])
+        monkeypatch.setattr(sg, "_FWD_COLLAPSED", True)
+        gb = jax.grad(loss, argnums=(0, 1))(args[3], args[2])
+        for a, b, name in zip(ga, gb, ("dw1", "dfeats")):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(1.0, float(np.abs(a).max()))
+            np.testing.assert_allclose(a, b, rtol=0, atol=3e-2 * scale,
+                                       err_msg=name)
+
+
 class TestCollapsedBackward:
     """_BWD_COLLAPSED (_sg_bwd_kernel_c): same saved-artifact routing as
     the straightforward backward, different matmul association — gradients

@@ -80,6 +80,26 @@ def dispatch_floor_ms(reps=20):
     return (time.perf_counter() - t0) / reps * 1e3
 
 
+def fwd_fn(cfg):
+    K = cfg["K"]
+
+    @jax.jit
+    def f(q, xyz, feats, w1, b1, w2, b2):
+        return sg_pallas.fused_set_abstraction(q, xyz, feats, w1, b1,
+                                               w2, b2, K, True)
+    return f
+
+
+def timed_fwd(fn, args, iters=30):
+    out = fn(*args)
+    _ = np.asarray(out.ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _ = np.asarray(out.ravel()[0])
+    return (time.perf_counter() - t0) / iters * 1e3, np.asarray(out)
+
+
 def main():
     assert sg_pallas.pallas_supported() and \
         jax.default_backend() == "tpu", "not on TPU: A/B meaningless"
@@ -89,6 +109,7 @@ def main():
     for stage, cfg in STAGES.items():
         assert sg_pallas.sorted_topk_supported(cfg["N"])
         args = make_args(cfg)
+        # -- backward collapse: fwd+bwd timing + grad parity ------------
         for bf16_mm in (False, True):
             fn = grad_fn(cfg, bf16_mm)
             grads = {}
@@ -109,6 +130,28 @@ def main():
             res[f"{key}_grad_ok"] = bool(worst <= tol)
             res[f"{key}_speedup"] = (res[f"{key}_old_ms"]
                                      / res[f"{key}_new_ms"])
+        # -- forward collapse (bf16 serving primal) + value parity ------
+        ffn = fwd_fn(cfg)
+        sg_pallas._FWD_COLLAPSED = False
+        ms_old, out_old = timed_fwd(ffn, args)
+        sg_pallas._FWD_COLLAPSED = True
+        ms_new, out_new = timed_fwd(ffn, args)
+        sg_pallas._FWD_COLLAPSED = False
+        scale = max(1.0, float(np.abs(out_old).max()))
+        res[f"{stage}_fwd_bf16_old_ms"] = ms_old
+        res[f"{stage}_fwd_bf16_new_ms"] = ms_new
+        res[f"{stage}_fwd_bf16_speedup"] = ms_old / ms_new
+        res[f"{stage}_fwd_bf16_rel_err"] = (
+            float(np.abs(out_old - out_new).max()) / scale)
+        # -- both collapses together (bf16 train config) ----------------
+        sg_pallas._FWD_COLLAPSED = True
+        sg_pallas._BWD_COLLAPSED = True
+        ms_both, _ = timed(grad_fn(cfg, True), args)
+        sg_pallas._FWD_COLLAPSED = False
+        sg_pallas._BWD_COLLAPSED = False
+        res[f"{stage}_bf16_both_ms"] = ms_both
+        res[f"{stage}_bf16_both_speedup"] = (res[f"{stage}_bf16_old_ms"]
+                                             / ms_both)
     print(json.dumps(res, indent=1))
     with open("/root/repo/TRG/sg_bwd_ab.json", "w") as f:
         json.dump(res, f)
