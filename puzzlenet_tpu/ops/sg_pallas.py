@@ -875,8 +875,21 @@ def _sg_bwd_kernel_c(k, kb, layout_t, q_ref, xyz_ref, feats_ref, w1_ref,
     # the forward gathers feats through one bf16 rounding; mirror it
     catf32 = feats.astype(jnp.bfloat16).astype(jnp.float32)
     M = jnp.concatenate([xyz, catf32], axis=1)           # [n, c_in]
-    Z = _dot(M.astype(mmdt), w1.astype(mmdt))            # [n, H] f32
-    Zm = Z.astype(mmdt)
+    # Z in f32 (tiny [n, c_in] x [c_in, H]); the WIDE per-block matmuls
+    # (a1 gather and the U scatter) always run with bf16 operands — full
+    # MXU rate even on the f32 train path. Under f32 the operands are
+    # hi/lo split pairs (value accuracy ~2^-16, vs 2^-9 single-bf16 under
+    # bf16_mm); both are legal backward VALUE precision per the routing
+    # contract, and the f32 path's gradient values stay well inside the
+    # suite's mixed-precision tolerance.
+    Z = _dot(M, w1)                                      # [n, H] f32
+    hilo = mmdt != jnp.bfloat16
+    if hilo:
+        Zhi = Z.astype(jnp.bfloat16)
+        Zlo = (Z - Zhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        ZHL = jnp.concatenate([Zhi, Zlo], axis=1)        # [n, 2H] bf16
+    else:
+        ZHL = Z.astype(jnp.bfloat16)                     # [n, H] bf16
     qproj = _dot(q, w1[:3, :])                           # [s, H] f32
     qprojs = jnp.concatenate([qproj] * kb, axis=0)       # [kb*s, H]
 
@@ -911,6 +924,12 @@ def _sg_bwd_kernel_c(k, kb, layout_t, q_ref, xyz_ref, feats_ref, w1_ref,
     def stack_k(build):
         return jnp.concatenate([build(jj) for jj in range(kb)], axis=0)
 
+    def bf_hilo(x):
+        """[R, H] f32 -> [R, 2H] bf16 hi/lo pair (exact sum in f32)."""
+        hi = x.astype(jnp.bfloat16)
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jnp.concatenate([hi, lo], axis=1)
+
     def blk_body(blk, carry):
         U, da1sum, dw2, db2 = carry
         k0 = blk * kb
@@ -918,9 +937,10 @@ def _sg_bwd_kernel_c(k, kb, layout_t, q_ref, xyz_ref, feats_ref, w1_ref,
         for jj in range(kb):
             sel = jnp.sum(jnp.where(kcols == k0 + jj, idxmat, 0), axis=1,
                           keepdims=True)                 # [s, 1]
-            ohs.append((lane == sel).astype(mmdt))
-        oh = jnp.concatenate(ohs, axis=0)                # [kb*s, n] mmdt
-        a1 = _dot(oh, Zm) - qprojs + b1                  # [kb*s, H] f32
+            ohs.append((lane == sel).astype(jnp.bfloat16))
+        oh = jnp.concatenate(ohs, axis=0)                # [kb*s, n] bf16
+        zz = _dot(oh, ZHL)                               # [kb*s, H|2H] f32
+        a1 = (zz[:, :h1n] + zz[:, h1n:] if hilo else zz) - qprojs + b1
         bit1 = stack_k(lambda jj: ((m1 >> (k0 + jj).astype(jnp.uint32))
                                    & jnp.uint32(1)) > 0)
         h1 = jnp.where(bit1, a1, 0.0)
@@ -934,16 +954,22 @@ def _sg_bwd_kernel_c(k, kb, layout_t, q_ref, xyz_ref, feats_ref, w1_ref,
                               dimension_numbers=(((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
         da1 = jnp.where(bit1, dh1, 0.0)                  # [kb*s, H]
-        U = U + rows_dot(oh, da1)                        # [n, H]
+        da1op = bf_hilo(da1) if hilo else da1.astype(jnp.bfloat16)
+        U = U + lax.dot_general(                         # [n, H|2H] f32
+            oh, da1op, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         da1sum = da1sum + da1
         return U, da1sum, dw2, db2
 
+    u_w = 2 * h1n if hilo else h1n
     U, da1sum, dw2, db2 = lax.fori_loop(
         0, k // kb, blk_body,
-        (jnp.zeros((n, h1n), jnp.float32),
+        (jnp.zeros((n, u_w), jnp.float32),
          jnp.zeros((kb * s, h1n), jnp.float32),
          jnp.zeros(dw2_ref.shape, jnp.float32),
          jnp.zeros(db2_ref.shape, jnp.float32)))
+    if hilo:
+        U = U[:, :h1n] + U[:, h1n:]
 
     # post-loop closures, all small and f32 (see docstring)
     db1 = jnp.sum(da1sum, axis=0, keepdims=True)         # [1, H]

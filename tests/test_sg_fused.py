@@ -406,12 +406,14 @@ class TestCollapsedBackward:
         ref = self._grads(args, bf16_mm)
         monkeypatch.setattr(sg, "_BWD_COLLAPSED", True)
         got = self._grads(args, bf16_mm)
-        # f32: pure re-association noise. bf16: the collapsed a1/U pass
-        # rounds different intermediates than the per-term backward.
-        # Error is judged against each ARRAY's scale: these are summed
-        # contractions (entries ~1e3) whose near-zero entries carry the
-        # sum's absolute noise, so per-element rtol is meaningless there.
-        tol = 1e-5 if not bf16_mm else 2e-2
+        # f32: the collapsed kernel's wide matmuls run as bf16 hi/lo
+        # pairs (~2^-16 value accuracy) — re-association plus that split.
+        # bf16: the collapsed a1/U pass rounds different intermediates
+        # than the per-term backward. Error is judged against each
+        # ARRAY's scale: these are summed contractions (entries ~1e3)
+        # whose near-zero entries carry the sum's absolute noise, so
+        # per-element rtol is meaningless there.
+        tol = 1e-3 if not bf16_mm else 2e-2
         names = ("dq", "dxyz", "dfeats", "dw1", "db1", "dw2", "db2")
         for a, b, name in zip(ref, got, names):
             a, b = np.asarray(a), np.asarray(b)

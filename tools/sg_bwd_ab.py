@@ -120,7 +120,9 @@ def main():
                 res[f"{key}_{'new' if collapsed else 'old'}_ms"] = ms
                 grads[collapsed] = [np.asarray(x) for x in g]
             sg_pallas._BWD_COLLAPSED = False
-            tol = 2e-2 if bf16_mm else 1e-5
+            # f32 collapsed backward carries hi/lo-bf16 value precision
+            # (~2^-16) in its wide matmuls — not f32-exact
+            tol = 2e-2 if bf16_mm else 1e-3
             worst = 0.0
             for a, b in zip(grads[False], grads[True]):
                 scale = max(1.0, float(np.abs(a).max()))
