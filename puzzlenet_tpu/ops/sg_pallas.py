@@ -98,7 +98,7 @@ _FWD_COLLAPSED = False  # collapsed-algebra bf16 forward (inside
                      # forward (parity contract, ~1e-15 vs reference) is
                      # untouched. Flip only after hardware A/B
                      # (tools/sg_bwd_ab.py --fwd).
-_BWD_COLLAPSED = False  # collapsed-algebra backward (_sg_bwd_kernel_c):
+_BWD_COLLAPSED = True   # collapsed-algebra backward (_sg_bwd_kernel_c):
                      # folds the one-hot gather into MLP layer 1 via
                      # associativity (a1 = oh @ (M w1) - q w1x + b1) and
                      # the input-grad scatter into one accumulated
@@ -108,8 +108,13 @@ _BWD_COLLAPSED = False  # collapsed-algebra backward (_sg_bwd_kernel_c):
                      # recomputed this way carry different rounding —
                      # allowed by the routing contract (masks/argmax are
                      # SAVED; rounding scales gradients, never re-routes
-                     # them). Row-major idx layout only; flip only after
-                     # hardware A/B (tools/sg_bwd_ab.py).
+                     # them). Row-major idx layout only, and ACTIVE ONLY
+                     # under bf16_mm (see _fused_backward): the round-5
+                     # hardware A/B (TRG/sg_bwd_ab.json) measured
+                     # 1.24x/1.12x there vs ~1.0x on f32 — the backward
+                     # is one-hot/VPU-bound (f32 and bf16 old kernels
+                     # time identically), so f32 keeps the exact-grad
+                     # per-term kernel.
 
 
 def pallas_supported():
@@ -1005,7 +1010,13 @@ def _fused_backward(new_xyz, xyz, feats, w1, b1, w2, b2, idx, amax,
     s_blk = min(_S_BLK, S)
     grid = (B, S // s_blk)
 
-    bwd_kernel = (_sg_bwd_kernel_c if _BWD_COLLAPSED and not layout_t
+    # collapsed backward only under bf16_mm: the hardware A/B
+    # (TRG/sg_bwd_ab.json, round 5) measured 1.24x/1.12x (stage1/2) there
+    # but ~1.0x on the f32 path with bf16-level (2e-3) value noise — the
+    # backward is one-hot/VPU-bound, not matmul-bound, so shrinking the
+    # f32 matmul work buys nothing and costs gradient exactness
+    bwd_kernel = (_sg_bwd_kernel_c
+                  if _BWD_COLLAPSED and bf16_mm and not layout_t
                   else _sg_bwd_kernel)
     dq, dcat, dw1, db1, dw2, db2 = pl.pallas_call(
         functools.partial(bwd_kernel, k, _neighbor_block(k), layout_t,

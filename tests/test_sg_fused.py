@@ -398,9 +398,14 @@ class TestCollapsedBackward:
                                       bf16_mm) ** 2)
         return jax.grad(loss, argnums=tuple(range(7)))(*args)
 
-    @pytest.mark.parametrize("bf16_mm", [False, True])
     def test_matches_straightforward_backward(self, interpret_mode,
-                                              monkeypatch, bf16_mm):
+                                              monkeypatch):
+        # bf16_mm only: _fused_backward gates the collapsed kernel to the
+        # bf16 path (the f32 A/B was ~1.0x with avoidable value noise —
+        # see the _BWD_COLLAPSED comment), so f32 always runs the
+        # per-term kernel and a f32 parametrization would compare it to
+        # itself.
+        bf16_mm = True
         args = self._kargs(11)
         monkeypatch.setattr(sg, "_BWD_COLLAPSED", False)
         ref = self._grads(args, bf16_mm)

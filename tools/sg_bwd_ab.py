@@ -111,11 +111,12 @@ def main():
         args = make_args(cfg)
         # -- backward collapse: fwd+bwd timing + grad parity ------------
         for bf16_mm in (False, True):
-            fn = grad_fn(cfg, bf16_mm)
             grads = {}
             for collapsed in (False, True):
                 sg_pallas._BWD_COLLAPSED = collapsed
-                ms, g = timed(fn, args)
+                # fresh jit per flag state: jit caches the first trace by
+                # function identity + shapes, NOT module globals
+                ms, g = timed(grad_fn(cfg, bf16_mm), args)
                 key = f"{stage}_{'bf16' if bf16_mm else 'f32'}"
                 res[f"{key}_{'new' if collapsed else 'old'}_ms"] = ms
                 grads[collapsed] = [np.asarray(x) for x in g]
@@ -133,11 +134,10 @@ def main():
             res[f"{key}_speedup"] = (res[f"{key}_old_ms"]
                                      / res[f"{key}_new_ms"])
         # -- forward collapse (bf16 serving primal) + value parity ------
-        ffn = fwd_fn(cfg)
         sg_pallas._FWD_COLLAPSED = False
-        ms_old, out_old = timed_fwd(ffn, args)
+        ms_old, out_old = timed_fwd(fwd_fn(cfg), args)
         sg_pallas._FWD_COLLAPSED = True
-        ms_new, out_new = timed_fwd(ffn, args)
+        ms_new, out_new = timed_fwd(fwd_fn(cfg), args)
         sg_pallas._FWD_COLLAPSED = False
         scale = max(1.0, float(np.abs(out_old).max()))
         res[f"{stage}_fwd_bf16_old_ms"] = ms_old
